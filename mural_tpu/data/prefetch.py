@@ -1,0 +1,75 @@
+"""Double-buffered host->device prefetch.
+
+The reference overlaps host encoding with GPU compute via DataLoader worker
+processes (``MuRaL/training.py:240-243``).  On TPU we instead run a single
+background thread that assembles numpy batches and eagerly issues
+``jax.device_put`` so DMA overlaps with the previous step's compute
+(`flax.jax_utils.prefetch_to_device`-style, but for our Batch struct).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mural_tpu.data.batcher import Batch
+
+
+class DeviceBatch:
+    __slots__ = ("y", "cat", "cont", "distal", "mask", "n_valid", "rows")
+
+    def __init__(self, y, cat, cont, distal, mask, n_valid, rows):
+        self.y = y
+        self.cat = cat
+        self.cont = cont
+        self.distal = distal
+        self.mask = mask
+        self.n_valid = n_valid
+        self.rows = rows
+
+
+def to_device(batch: Batch, device=None, sharding=None) -> DeviceBatch:
+    import numpy as np
+    mask = (np.arange(len(batch.y)) < batch.n_valid).astype(np.float32)
+    put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
+        else (lambda x: jax.device_put(x, device))
+    return DeviceBatch(
+        y=put(batch.y),
+        cat=put(batch.cat),
+        cont=None if batch.cont is None else put(batch.cont),
+        distal=put(batch.distal),
+        mask=put(mask),
+        n_valid=batch.n_valid,
+        rows=batch.rows,
+    )
+
+
+def prefetch(batches: Iterator[Batch], size: int = 2, device=None,
+             sharding=None) -> Iterator[DeviceBatch]:
+    """Wrap a host batch iterator with a device-put prefetch thread."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _SENTINEL = object()
+    err: list = []
+
+    def worker():
+        try:
+            for b in batches:
+                q.put(to_device(b, device=device, sharding=sharding))
+        except BaseException as e:  # surfaced in the consumer
+            err.append(e)
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            if err:
+                raise err[0]
+            return
+        yield item
