@@ -1,0 +1,58 @@
+"""torch-parity weight initialisation.
+
+The reference applies ``weights_init`` to every module
+(MuRaL/model/nn_utils.py:14-35): Conv1d -> xavier_uniform, Linear ->
+kaiming_normal (torch defaults: fan_in, gain sqrt(2)), biases -> 0.
+Flax kernels for Conv are (k, in, out) and Dense (in, out); torch fans:
+
+- Conv1d weight (out, in, k): fan_in = in*k, fan_out = out*k
+- Linear weight (out, in):    fan_in = in,   fan_out = out
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _is_conv_kernel(path, leaf):
+    return leaf.ndim == 3
+
+
+def _is_dense_kernel(path, leaf):
+    return leaf.ndim == 2 and path[-1].key == "kernel"
+
+
+def torch_style_init(params, seed: int = 0, emb_normal: bool = True):
+    """Re-initialise a Flax param tree with the reference's scheme.
+
+    Embeddings keep torch's nn.Embedding default N(0, 1) (the reference
+    never re-initialises ``emb_layer`` because weights_init only matches
+    Conv/Linear class names).  BatchNorm scales/biases stay (1, 0).
+    """
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    rng = np.random.default_rng(seed)
+    out = []
+    for path, leaf in flat:
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        arr = np.asarray(leaf)
+        if name == "bias":
+            arr = np.zeros_like(arr)
+        elif name == "embedding":
+            if emb_normal:
+                arr = rng.normal(0.0, 1.0, size=arr.shape)
+        elif name == "kernel" and arr.ndim == 3:
+            # conv (k, in, out): xavier uniform
+            k, fin, fout = arr.shape
+            a = math.sqrt(6.0 / (fin * k + fout * k))
+            arr = rng.uniform(-a, a, size=arr.shape)
+        elif name == "kernel" and arr.ndim == 2:
+            # dense (in, out): kaiming normal, fan_in = in
+            fin = arr.shape[0]
+            std = math.sqrt(2.0 / fin)
+            arr = rng.normal(0.0, std, size=arr.shape)
+        out.append(jnp.asarray(arr, dtype=leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, out)

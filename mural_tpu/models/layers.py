@@ -1,0 +1,200 @@
+"""Building blocks with exact parity to the reference's torch layers.
+
+Layout convention: activations are channels-last ``(N, L, C)`` -- the
+natural layout for TPU convolutions (XLA maps them onto the MXU without
+transposes), whereas the reference uses torch's ``(N, C, L)``.
+
+Cited reference behaviours:
+- ``nn.MaxPool1d(k, s, p)`` pads with -inf and uses floor output length
+  (model_snv.py:150,192,197,207).
+- ``ResBlock`` is pre-activation ReLU->BN->Conv twice with a length-cropped
+  residual (model_snv.py:794-812).
+- ``nn.BatchNorm1d`` defaults: eps=1e-5, momentum=0.1 (i.e. running stats
+  decay 0.9 in flax terms).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mural_tpu.genome.encode import ONE_HOT_TABLE
+
+# (15, 4) fractional IUPAC one-hot table, device-resident constant.
+_OHE = jnp.asarray(ONE_HOT_TABLE)
+
+
+def one_hot_from_codes(codes: jnp.ndarray,
+                       dtype=jnp.float32) -> jnp.ndarray:
+    """uint8 genome codes (N, L) -> fractional one-hot (N, L, 4).
+
+    This is the device-side replacement for the reference's host
+    ``seq_ohe_encoder`` (preprocessing.py:756-816): a single gather that
+    XLA fuses into the first convolution.
+    """
+    return _OHE.astype(dtype)[codes.astype(jnp.int32)]
+
+
+def max_pool1d(x: jnp.ndarray, kernel: int, stride: int,
+               padding: int) -> jnp.ndarray:
+    """torch.nn.MaxPool1d semantics on (N, L, C): -inf padding, floor len."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, kernel, 1),
+        window_strides=(1, stride, 1),
+        padding=((0, 0), (padding, padding), (0, 0)),
+    )
+
+
+def upsample_nearest(x: jnp.ndarray, scale: int) -> jnp.ndarray:
+    """torch.nn.Upsample(scale_factor=scale, mode='nearest') on (N, L, C)."""
+    return jnp.repeat(x, scale, axis=1)
+
+
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with exact torch.nn.BatchNorm1d semantics.
+
+    Differences from ``flax.linen.BatchNorm`` that matter for checkpoint
+    and loss parity: torch updates running_var with the *unbiased*
+    (n/(n-1)) batch variance while normalising with the biased one, and
+    uses update rule ``new = (1-m)*old + m*batch`` with m=0.1.
+    Channels-last; reduces over all leading axes.
+    """
+    momentum: float = 0.1
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axes)
+            var = jnp.mean(jnp.square(x), axes) - jnp.square(mean)
+            n = x.size // feat
+            unbiased = var * (n / max(n - 1, 1))
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        return (x - mean) * inv * scale + bias
+
+
+def bn(name: str):
+    """Shorthand constructor used across the model files."""
+    return TorchBatchNorm(name=name)
+
+
+class Conv1d(nn.Module):
+    """torch.nn.Conv1d equivalent on (N, L, C_in) -> (N, L', C_out)."""
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.features, kernel_size=(self.kernel_size,),
+                       strides=(self.stride,),
+                       padding=[(self.padding, self.padding)],
+                       use_bias=self.use_bias, name="conv")(x)
+
+
+class BNConv(nn.Module):
+    """BatchNorm -> Conv1d (the reference's ``conv1``/``conv2`` Sequentials,
+    model_snv.py:144-147,156-160), optional trailing ReLU (``conv3``)."""
+    features: int
+    kernel_size: int
+    relu: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = TorchBatchNorm(name="bn")(x, not train)
+        x = nn.Conv(self.features, kernel_size=(self.kernel_size,),
+                    padding=[((self.kernel_size - 1) // 2,) * 2],
+                    name="conv")(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class ResBlock(nn.Module):
+    """Pre-activation residual block (model_snv.py:794-812):
+    ReLU->BN->Conv->ReLU->BN->Conv, residual cropped to the conv output
+    length.  With padding (k-1)//2 lengths are preserved."""
+    channels: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        p = (self.kernel_size - 1) // 2
+        out = nn.relu(x)
+        out = TorchBatchNorm(name="bn1")(out, not train)
+        out = nn.Conv(self.channels, (self.kernel_size,),
+                      padding=[(p, p)], name="conv1")(out)
+        out = nn.relu(out)
+        out = TorchBatchNorm(name="bn2")(out, not train)
+        out = nn.Conv(self.channels, (self.kernel_size,),
+                      padding=[(p, p)], name="conv2")(out)
+        return x[:, :out.shape[1], :] + out
+
+
+class DistalFC(nn.Module):
+    """BN -> Dropout -> Linear head (model_snv.py:176-182)."""
+    n_class: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = TorchBatchNorm(name="bn")(x, not train)
+        x = nn.Dropout(self.dropout, deterministic=not train,
+                       name="drop")(x)
+        return nn.Dense(self.n_class, name="fc")(x)
+
+
+class ResNetTower(nn.Module):
+    """One distal tower (model_snv.py:144-182 wiring / forward :240-258):
+
+    BN-Conv -> maxpool(p1) -> 2xResBlock + skip -> maxpool(p2) -> BN-Conv
+    -> 2xResBlock + skip -> maxpool(p3) -> BN-Conv-ReLU -> global max.
+    ``pools`` selects the scale: (3,3,1)x3 for the mid-scale tower,
+    (15,15,7),(7,7,3),(3,3,1) for the large-scale tower (:192-207).
+    """
+    out_channels: int
+    kernel_size: int
+    pools: Sequence[Sequence[int]]  # three (kernel, stride, pad) triples
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        k = self.kernel_size
+        x = BNConv(self.out_channels, k, name="conv1")(x, train)
+        x = max_pool1d(x, *self.pools[0])
+        jump = x
+        x = ResBlock(self.out_channels, name="RBs1_0")(x, train)
+        x = ResBlock(self.out_channels, name="RBs1_1")(x, train)
+        x = jump[:, :x.shape[1], :] + x
+        x = max_pool1d(x, *self.pools[1])
+        x = BNConv(self.out_channels, k, name="conv2")(x, train)
+        jump = x
+        x = ResBlock(self.out_channels, name="RBs2_0")(x, train)
+        x = ResBlock(self.out_channels, name="RBs2_1")(x, train)
+        x = jump[:, :x.shape[1], :] + x
+        x = max_pool1d(x, *self.pools[2])
+        x = BNConv(self.out_channels, k, relu=True, name="conv3")(x, train)
+        return jnp.max(x, axis=1)
+
+
+MID_POOLS = ((3, 3, 1), (3, 3, 1), (3, 3, 1))
+LARGE_POOLS = ((15, 15, 7), (7, 7, 3), (3, 3, 1))

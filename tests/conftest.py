@@ -10,6 +10,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# The axon sitecustomize force-registers the TPU backend regardless of the
+# JAX_PLATFORMS env var; the config update below reliably pins tests to the
+# virtual 8-device CPU platform.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 
