@@ -1,0 +1,212 @@
+"""Multinomial (softmax) regression with a damped-Newton solver in JAX.
+
+The numerical core of Dirichlet probability calibration -- a clean-room
+re-implementation of the algorithm used by the reference's vendored
+``dirichlet_python`` package (dirichletcal/calib/multinomial.py):
+
+- log-prob features + bias column -> softmax regression;
+- Full / Diag / FixDiag weight parameterisations with an optional
+  reference-row normalisation (subtract the last row);
+- objective = mean NLL + L2 (or ODIR off-diagonal/intercept) regulariser;
+- damped Newton: pseudo-inverse of the autodiff Hessian + backtracking
+  line search over 41 step sizes; L-BFGS-B fallback for k > 36 classes.
+
+All solver math runs in float64 on the host CPU backend
+(``jax.experimental.enable_x64`` + default_device(cpu)); the fitted
+weights are stored as plain numpy so the calibrator pickles cleanly next
+to checkpoints.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_MAXITER = 1024
+_FTOL = 1e-12
+_GTOL = 1e-8
+# 41 trial step sizes: 1 .. 0.1 linearly, then 1e-2 .. 1e-32 log-spaced
+_STEPS = np.hstack((np.linspace(1, 0.1, 10), np.logspace(-2, -32, 31)))
+
+
+def _get_weights(params, k: int, ref_row: bool, method: str):
+    if method in ("Full", None):
+        raw = params.reshape(-1, k + 1)
+    elif method == "Diag":
+        raw = jnp.hstack([jnp.diag(params[:k]), params[k:].reshape(-1, 1)])
+    elif method == "FixDiag":
+        raw = jnp.hstack([jnp.eye(k) * params[0], jnp.zeros((k, 1))])
+    else:
+        raise ValueError(f"Unknown calibration method {method}")
+    if ref_row:
+        raw = raw - raw[-1:, :]
+    return raw
+
+
+def _identity_init(k: int, method: str) -> np.ndarray:
+    if method in ("Full", None):
+        return np.hstack([np.eye(k), np.zeros((k, 1))]).ravel()
+    if method == "Diag":
+        return np.hstack([np.ones(k), np.zeros(k)])
+    if method == "FixDiag":
+        return np.ones(1)
+    raise ValueError(method)
+
+
+def _objective(params, X, target, k, method, reg_lambda, reg_mu,
+               ref_row, reg_format):
+    W = _get_weights(params, k, ref_row, method)
+    logits = X @ W.T
+    logp = jax.nn.log_softmax(logits, axis=1)
+    # clip as the reference's clip_jax (eps of the dtype)
+    p = jnp.clip(jnp.exp(logp), jnp.finfo(logp.dtype).eps,
+                 1 - jnp.finfo(logp.dtype).eps)
+    loss = jnp.mean(-jnp.log(jnp.sum(target * p, axis=1)))
+    if reg_mu is None:
+        if reg_format == "identity":
+            reg = jnp.hstack([jnp.eye(k), jnp.zeros((k, 1))])
+        else:
+            reg = jnp.zeros((k, k + 1))
+        loss = loss + reg_lambda * jnp.sum((W - reg) ** 2)
+    else:
+        W_hat = W - jnp.hstack([W[:, :-1] * jnp.eye(k),
+                                jnp.zeros((k, 1))])
+        loss = (loss + reg_lambda * jnp.sum(W_hat[:, :-1] ** 2)
+                + reg_mu * jnp.sum(W_hat[:, -1] ** 2))
+    return loss
+
+
+class MultinomialRegression:
+    def __init__(self, method: str = "Full", reg_lambda: float = 0.0,
+                 reg_mu: Optional[float] = None, reg_norm: bool = False,
+                 ref_row: bool = True, reg_format: Optional[str] = None,
+                 optimizer: str = "auto", weights_0=None):
+        if method not in ("Full", "Diag", "FixDiag"):
+            raise ValueError(f"method {method} not available")
+        self.method = method
+        self.reg_lambda = reg_lambda
+        self.reg_mu = reg_mu
+        self.reg_norm = reg_norm
+        self.ref_row = ref_row
+        self.reg_format = reg_format
+        self.optimizer = optimizer
+        self.weights_0 = weights_0
+        self.weights_ = None
+        self.classes = None
+
+    # -- public API ----------------------------------------------------
+    @property
+    def coef_(self):
+        return self.weights_[:, :-1]
+
+    @property
+    def intercept_(self):
+        return self.weights_[:, -1]
+
+    def predict_proba(self, S: np.ndarray) -> np.ndarray:
+        S_ = np.hstack((S, np.ones((len(S), 1))))
+        logits = S_ @ self.weights_.T
+        logits = logits - logits.max(axis=1, keepdims=True)
+        e = np.exp(logits)
+        return e / e.sum(axis=1, keepdims=True)
+
+    predict = predict_proba
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "MultinomialRegression":
+        X_ = np.hstack((np.asarray(X, np.float64),
+                        np.ones((len(X), 1))))
+        self.classes = np.unique(y)
+        k = len(self.classes)
+
+        reg_lambda, reg_mu = self.reg_lambda, self.reg_mu
+        if self.reg_norm:
+            if reg_mu is None:
+                reg_lambda = reg_lambda / (k * (k + 1))
+            else:
+                reg_lambda = reg_lambda / (k * (k - 1))
+                reg_mu = reg_mu / k
+
+        target = (y[:, None] == self.classes[None, :]).astype(np.float64)
+
+        w0 = (np.asarray(self.weights_0, np.float64)
+              if self.weights_0 is not None
+              else _identity_init(k, self.method))
+
+        cpu = jax.devices("cpu")[0]
+        with jax.enable_x64(True), jax.default_device(cpu):
+            obj = partial(_objective, k=k, method=self.method,
+                          reg_lambda=reg_lambda, reg_mu=reg_mu,
+                          ref_row=self.ref_row, reg_format=self.reg_format)
+            if (self.optimizer == "newton"
+                    or (self.optimizer == "auto" and k <= 36)):
+                weights = _newton_solve(obj, w0, X_, target, self.method)
+            elif (self.optimizer == "fmin_l_bfgs_b"
+                    or (self.optimizer == "auto" and k > 36)):
+                import scipy.optimize
+                grad = jax.grad(obj)
+                res = scipy.optimize.fmin_l_bfgs_b(
+                    func=lambda w: float(obj(w, X_, target)),
+                    fprime=lambda w: np.asarray(grad(jnp.asarray(w), X_,
+                                                     target)),
+                    x0=w0, maxls=128, factr=1.0)
+                weights = np.asarray(res[0])
+            else:
+                raise ValueError(f"Unknown optimizer: {self.optimizer}")
+
+            self.weights_ = np.asarray(
+                _get_weights(jnp.asarray(weights), k, self.ref_row,
+                             self.method))
+        return self
+
+
+def _newton_solve(obj, w0, X, target, method) -> np.ndarray:
+    grad_fn = jax.jit(jax.grad(obj))
+    hess_fn = jax.jit(jax.hessian(obj))
+    obj_fn = jax.jit(obj)
+
+    weights = jnp.asarray(w0, jnp.float64)
+    L_list = [float(obj_fn(weights, X, target))]
+
+    for i in range(_MAXITER):
+        gradient = grad_fn(weights, X, target)
+        if float(jnp.abs(gradient).sum()) < _GTOL:
+            break
+        hessian = hess_fn(weights, X, target)
+        if method == "FixDiag":
+            updates = gradient / hessian
+        else:
+            try:
+                updates = jnp.linalg.pinv(hessian) @ gradient
+            except Exception as err:  # LinAlgError and friends
+                logger.error("pinv failed: %s", err)
+                updates = gradient
+
+        L = L_list[-1]
+        tmp_w = weights
+        for step in _STEPS:
+            tmp_w = weights - (updates * step).ravel()
+            L = float(obj_fn(tmp_w, X, target))
+            if L - L_list[-1] < 0:
+                break
+        L_list.append(L)
+
+        if np.isnan(L):
+            logger.error("%s: log-loss is NaN", method)
+            break
+        if i >= 5:
+            diffs = np.diff(L_list[-5:])
+            if float(diffs.min()) > -_FTOL and float(diffs.sum()) <= 0:
+                weights = tmp_w
+                break
+        if L_list[-1] - L_list[-2] > 0:
+            break
+        weights = tmp_w
+
+    return np.asarray(weights)

@@ -1,0 +1,60 @@
+"""Checkpoint triple: ``model`` + ``model.config.pkl`` + ``model.fdiri_cal.pkl``.
+
+Same on-disk layout as the reference (training.py:570-578) so downstream
+tooling (get_best_model, transfer, predict) finds the same files:
+
+- ``model``              -- msgpack-serialised {params, batch_stats}
+                            (flax.serialization), instead of a torch
+                            state_dict.  Torch state_dicts from the
+                            shipped reference models are importable via
+                            :mod:`mural_tpu.utils.torch_import`.
+- ``model.config.pkl``   -- pickled config dict; the authoritative
+                            architecture record (rehydrated by transfer
+                            and predict, run_predict.py:60-94).
+- ``model.fdiri_cal.pkl``-- pickled FullDirichlet calibrator.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, Optional, Tuple
+
+from flax import serialization
+
+
+def save_checkpoint(save_path: str, params, batch_stats, config: Dict,
+                    calibrator=None) -> None:
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    payload = {"params": params, "batch_stats": batch_stats}
+    with open(save_path, "wb") as fh:
+        fh.write(serialization.to_bytes(payload))
+    with open(save_path + ".config.pkl", "wb") as fh:
+        pickle.dump(config, fh)
+    if calibrator is not None:
+        with open(save_path + ".fdiri_cal.pkl", "wb") as fh:
+            pickle.dump(calibrator, fh)
+
+
+def load_checkpoint(model_path: str, template: Dict) -> Dict:
+    """Restore {params, batch_stats} into the shape of ``template``.
+
+    Transparently falls back to the torch state_dict importer when the
+    file is a torch zip archive (the shipped reference checkpoints).
+    """
+    with open(model_path, "rb") as fh:
+        blob = fh.read()
+    if blob[:2] == b"PK":           # torch zip-format state_dict
+        from mural_tpu.utils.torch_import import load_torch_checkpoint
+        return load_torch_checkpoint(model_path, template)
+    return serialization.from_bytes(template, blob)
+
+
+def load_config(config_path: str) -> Dict:
+    with open(config_path, "rb") as fh:
+        return pickle.load(fh)
+
+
+def load_calibrator(path: str):
+    with open(path, "rb") as fh:
+        return pickle.load(fh)

@@ -1,0 +1,79 @@
+"""Jitted train/eval steps.
+
+One fused XLA program per step: device-side one-hot of the uint8 distal
+codes, forward, masked CE-sum loss (the reference's
+``CrossEntropyLoss(reduction='sum')``, training.py:327), gradient,
+global-norm clip, optimizer update with the in-graph scheduled LR.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mural_tpu.models.layers import one_hot_from_codes
+from mural_tpu.train.state import TrainState
+
+
+def masked_ce_sum(logits, y, mask):
+    """sum over valid rows of -(log_softmax(logits)[y]).
+
+    Model outputs are log-probabilities; torch CrossEntropyLoss treats
+    them as logits and re-normalises -- replicated exactly.
+    """
+    logz = jax.nn.logsumexp(logits, axis=1)
+    picked = jnp.take_along_axis(logits, y[:, None], axis=1)[:, 0]
+    return jnp.sum((logz - picked) * mask)
+
+
+def _forward(model, params, batch_stats, cat, cont, distal_codes, train,
+             dropout_rng=None):
+    distal = one_hot_from_codes(distal_codes)
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        out, mut = model.apply(variables, cat, cont, distal, True,
+                               rngs={"dropout": dropout_rng},
+                               mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+    return model.apply(variables, cat, cont, distal, False), batch_stats
+
+
+def make_train_step(model, donate: bool = True):
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step(state: TrainState, y, cat, cont, distal_codes, mask,
+                   base_rng):
+        lr = state.lr()
+        rng = jax.random.fold_in(base_rng, state.step)
+
+        def loss_fn(params):
+            logits, new_stats = _forward(model, params, state.batch_stats,
+                                         cat, cont, distal_codes, True, rng)
+            loss = masked_ce_sum(logits, y, mask)
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = state.tx.update(grads, state.opt_state,
+                                             state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, batch_stats=new_stats,
+                                  opt_state=opt_state, step=state.step + 1)
+        return new_state, loss, lr
+
+    return train_step
+
+
+def make_eval_step(model):
+    @jax.jit
+    def eval_step(params, batch_stats, y, cat, cont, distal_codes, mask):
+        logits, _ = _forward(model, params, batch_stats, cat, cont,
+                             distal_codes, False)
+        loss = masked_ce_sum(logits, y, mask)
+        return logits, loss
+
+    return eval_step
