@@ -1,0 +1,187 @@
+"""Prediction pipeline (ref MuRaL/scripts/run_predict.py:34-263).
+
+Rehydrates the architecture from the checkpoint's ``model.config.pkl``
+(the authoritative record), encodes the test BED, runs batched inference
+(optionally sharded over a device mesh -- see
+:mod:`mural_tpu.parallel.sharded_predict`), applies the saved Dirichlet
+calibrator and/or Poisson calibration, and writes the reference's TSV
+schema ``chrom start end strand mut_type prob0..N`` sorted by
+(chrom, start) with ``%.4g`` floats.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mural_tpu.data.batcher import segment_pool_batches
+from mural_tpu.data.dataset import prepare_dataset
+from mural_tpu.data.prefetch import prefetch
+from mural_tpu.calibrate import poisson_calibrate
+from mural_tpu.evaluation import corr_calc_sub, freq_kmer_comp_multi
+from mural_tpu.genome.fasta import Genome
+from mural_tpu.genome.tracks import TrackSet, read_track_list
+from mural_tpu.models.registry import build_model
+from mural_tpu.train.checkpoint import (load_calibrator, load_checkpoint,
+                                        load_config)
+from mural_tpu.train.steps import make_eval_step
+
+
+@dataclasses.dataclass
+class PredictOptions:
+    test_data: str
+    ref_genome: str
+    model_path: str
+    model_config_path: str
+    calibrator_path: str = ""
+    pred_file: str = "pred.tsv.gz"
+    poisson_calib: bool = False
+    pred_batch_size: int = 16
+    segment_center: Optional[int] = None
+    bw_paths: Optional[str] = None
+    kmer_corr: List[int] = dataclasses.field(default_factory=list)
+    region_corr: List[int] = dataclasses.field(default_factory=list)
+    pred_time_view: bool = False
+    n_devices: int = 1                 # shard inference over a mesh
+    device=None
+
+
+def build_model_from_config(config: Dict, n_cont: int, model_type: str):
+    """run_predict.py:166-181: in_channels and the common config dict."""
+    in_channels = 4 ** config.get("distal_order", 1)
+    common = {
+        "emb_dims": config["emb_dims"],
+        "n_cont": n_cont,
+        "n_class": config["n_class"],
+        "distal_order": config.get("distal_order", 1),
+        "in_channels": in_channels,
+    }
+    return build_model(config["model_no"], config, common, model_type)
+
+
+def run_predict(opts: PredictOptions, model_type: str = "snv",
+                printer=print) -> "pd.DataFrame":
+    import pandas as pd
+    start_time = time.time()
+
+    config = load_config(opts.model_config_path)
+    segment_center = opts.segment_center or config["segment_center"]
+    n_class = config["n_class"]
+    seq_only = config.get("seq_only", False)
+
+    tracks = None
+    if opts.bw_paths:
+        files, names, radii = read_track_list(opts.bw_paths,
+                                              config["local_radius"])
+        if files:
+            tracks = TrackSet(files, names, radii)
+
+    genome = Genome.from_fasta(opts.ref_genome)
+    ds = prepare_dataset(
+        opts.test_data, genome, central_bp=segment_center,
+        local_radius=config["local_radius"],
+        local_order=config["local_order"],
+        distal_radius=config["distal_radius"],
+        distal_order=config.get("distal_order", 1),
+        model_type=model_type, tracks=tracks, seq_only=seq_only)
+    printer("test set preprocess time:", time.time() - start_time)
+
+    model = build_model_from_config(config, ds.n_cont, model_type)
+
+    from mural_tpu.train.loop import _init_variables
+    template = _init_variables(model, ds, 0)
+    restored = load_checkpoint(opts.model_path, {
+        "params": template["params"],
+        "batch_stats": template.get("batch_stats", {})})
+    params, batch_stats = restored["params"], restored["batch_stats"]
+
+    prob_names = [f"prob{i}" for i in range(n_class)]
+    test_size = ds.n_sites
+
+    if opts.n_devices > 1:
+        from mural_tpu.parallel.sharded_predict import sharded_predict
+        logits, total_loss = sharded_predict(
+            model, params, batch_stats, ds, opts.pred_batch_size,
+            opts.n_devices)
+    else:
+        eval_step = make_eval_step(model)
+        parts = []
+        total_loss = 0.0
+        batches = segment_pool_batches(ds, 1, opts.pred_batch_size,
+                                       shuffle=False, pad_final=True)
+        t_fetch = t_pred = 0.0
+        t0 = time.time()
+        count = 0
+        for db in prefetch(batches, size=2, device=opts.device):
+            t_fetch += time.time() - t0
+            t1 = time.time()
+            lg, loss = eval_step(params, batch_stats, db.y, db.cat,
+                                 db.cont, db.distal, db.mask)
+            parts.append(np.asarray(lg[:db.n_valid]))
+            total_loss += float(loss)
+            t_pred += time.time() - t1
+            count += 1
+            if opts.pred_time_view and count % 500 == 0:
+                printer(f"batch {count}: fetch {t_fetch:.1f}s "
+                        f"predict {t_pred:.1f}s (last 500)")
+                t_fetch = t_pred = 0.0
+            t0 = time.time()
+        logits = (np.concatenate(parts) if parts
+                  else np.zeros((0, n_class)))
+
+    e = np.exp(logits - logits.max(axis=1, keepdims=True))
+    probs = e / e.sum(axis=1, keepdims=True)
+    y_prob = pd.DataFrame(probs, columns=prob_names)
+
+    if opts.calibrator_path:
+        printer("using calibrator for scaling ...")
+        calibr = load_calibrator(opts.calibrator_path)
+        y_prob = pd.DataFrame(calibr.predict_proba(y_prob.to_numpy()),
+                              columns=prob_names)
+    if opts.poisson_calib or model_type == "indel":
+        y_prob = poisson_calibrate(y_prob)
+
+    printer("Mean Loss, Total Loss, Test Size:",
+            total_loss / max(test_size, 1), total_loss, test_size)
+
+    data_local = ds.local_frame()
+    data_and_prob = pd.concat(
+        [data_local.reset_index(drop=True), y_prob], axis=1)
+
+    chr_pos = ds.position_frame()
+    pred_df = pd.concat(
+        [chr_pos, data_and_prob[["mut_type"] + prob_names]], axis=1)
+    pred_df.columns = (["chrom", "start", "end", "strand", "mut_type"]
+                       + prob_names)
+    pred_df = pred_df.sort_values(["chrom", "start"]).reset_index(drop=True)
+    if opts.pred_file:
+        pred_df.to_csv(opts.pred_file, sep="\t", float_format="%.4g",
+                       index=False)
+
+    if opts.kmer_corr:
+        if any(k % 2 == 0 or k < 0 for k in opts.kmer_corr):
+            printer("Warning: please provide odd positive numbers for "
+                    "k-mer lengths", opts.kmer_corr,
+                    ". No k-mer correlation was calculated.")
+        else:
+            for k in opts.kmer_corr:
+                printer(f"{k}mer correlation: ",
+                        freq_kmer_comp_multi(data_and_prob, k, n_class))
+
+    if opts.region_corr:
+        if min(opts.region_corr) <= 0:
+            printer("Warning: please provide positive numbers for window "
+                    "sizes. No regional correlation was calculated.")
+        else:
+            for win in opts.region_corr:
+                corr = corr_calc_sub(pred_df, win, prob_names)
+                printer("regional corr:", f"{win}bp", corr)
+
+    printer("Total time used: %s seconds" % (time.time() - start_time))
+    return pred_df

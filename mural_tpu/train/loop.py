@@ -1,0 +1,419 @@
+"""The per-trial training pipeline (ref MuRaL/training.py:45-567).
+
+Flow parity with the reference's ``train(config, args, model_type)``:
+
+dataset build -> segment-level train/valid split (``split_seed``) ->
+emb_dims -> model build + torch-style init (or transfer load/freeze) ->
+weight_decay_auto -> optimizer/schedule -> epoch loop of jitted train
+steps with per-1000-batch timing -> per-epoch validation + FullDirichlet
+calibration + k-mer/regional evaluation -> checkpoint triple ->
+metrics/early-stopping reporting.
+
+TPU-first differences: batches have static shapes (pad+mask), the LR
+schedule is evaluated in-graph, host batching overlaps device compute via
+a prefetch thread, and the distal one-hot never materialises on the host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mural_tpu.data.batcher import segment_pool_batches
+from mural_tpu.data.dataset import SiteDataset, prepare_dataset
+from mural_tpu.data.prefetch import prefetch
+from mural_tpu.calibrate import calibrate_prob, poisson_calibrate
+from mural_tpu.evaluation import Evaluator
+from mural_tpu.genome.bed import BedFile
+from mural_tpu.genome.fasta import Genome
+from mural_tpu.genome.tracks import TrackSet, read_track_list
+from mural_tpu.models.init import torch_style_init
+from mural_tpu.models.registry import build_model
+from mural_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from mural_tpu.train.early_stopping import EarlyStopping
+from mural_tpu.train.optim import LRSchedule, auto_weight_decay
+from mural_tpu.train.state import create_train_state
+from mural_tpu.train.steps import make_eval_step, make_train_step
+from mural_tpu.utils.printer import get_printer
+
+
+@dataclasses.dataclass
+class TrainOptions:
+    """Non-searchable options (the reference's argparse ``args``)."""
+    train_data: str
+    ref_genome: str
+    validation_data: Optional[str] = None
+    bw_paths: Optional[str] = None
+    distal_order: int = 1
+    seq_only: bool = False
+    without_bw_distal: bool = False
+    n_class: int = 4
+    model_no: int = 2
+    epochs: int = 10
+    valid_ratio: float = 0.1
+    split_seed: Optional[int] = None
+    save_valid_preds: bool = False
+    poisson_calib: bool = False
+    grace_period: int = 5
+    trial_dir: str = "."
+    trial_training_log: Optional[str] = None
+    distributed: bool = False          # reference's use_ray
+    # transfer learning
+    model_path: Optional[str] = None
+    train_all: bool = True
+    init_fc_with_pretrained: bool = False
+    # misc
+    rng_seed: int = 0
+    device=None
+
+
+def split_segments_like_torch(n_segments: int, valid_ratio: float,
+                              split_seed: int):
+    """Segment-level random split with torch.random_split parity
+    (training.py:220-229): randperm under a manually-seeded generator,
+    first chunk = train, second = valid, valid indices sorted."""
+    valid_size = int(n_segments * valid_ratio)
+    train_size = n_segments - valid_size
+    try:
+        import torch
+        g = torch.Generator().manual_seed(split_seed)
+        perm = torch.randperm(n_segments, generator=g).tolist()
+    except ImportError:
+        perm = np.random.default_rng(split_seed).permutation(
+            n_segments).tolist()
+    train_ids = np.asarray(perm[:train_size])
+    valid_ids = np.sort(np.asarray(perm[train_size:train_size + valid_size]))
+    return train_ids, valid_ids
+
+
+def _init_variables(model, ds: SiteDataset, rng_seed: int):
+    """Initialise Flax variables with a tiny representative batch."""
+    from mural_tpu.models.layers import one_hot_from_codes
+    cat = jnp.zeros((2, ds.cat.shape[1]), jnp.int32)
+    cont = (jnp.zeros((2, ds.n_cont), jnp.float32)
+            if ds.n_cont else None)
+    distal = one_hot_from_codes(
+        jnp.zeros((2, ds.distal_width), jnp.uint8))
+    return model.init(jax.random.key(rng_seed), cat, cont, distal, False)
+
+
+def _transfer_mask(params, model_type: str, train_all: bool):
+    """0/1 mask tree for transfer freezing (training.py:301-314): only
+    the final local/distal FC layers stay trainable unless train_all."""
+    if train_all:
+        return None
+    if model_type == "indel":
+        raise ValueError(
+            "--train_all is required for INDEL transfer learning; the "
+            "INDEL model needs full fine-tuning")
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    mask_flat = []
+    for path, leaf in flat[0]:
+        keys = [p.key for p in path]
+        trainable = ("local_fc" in keys or
+                     ("distal_fc1" in keys and "fc" in keys) or
+                     ("distal_fc2" in keys and "fc" in keys))
+        mask_flat.append(jnp.asarray(1.0 if trainable else 0.0))
+    return jax.tree_util.tree_unflatten(flat[1], mask_flat)
+
+
+def _reinit_final_fcs(params, rng_seed: int):
+    """Re-initialise the final FC layers (training.py:316-321)."""
+    import math
+    rng = np.random.default_rng(rng_seed + 12345)
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    out = []
+    for path, leaf in flat[0]:
+        keys = [p.key for p in path]
+        is_final_fc = ("local_fc" in keys or
+                       ("distal_fc1" in keys and "fc" in keys) or
+                       ("distal_fc2" in keys and "fc" in keys))
+        if is_final_fc and keys[-1] == "kernel":
+            fin = leaf.shape[0]
+            leaf = jnp.asarray(rng.normal(0, math.sqrt(2.0 / fin),
+                                          size=leaf.shape), leaf.dtype)
+        elif is_final_fc and keys[-1] == "bias":
+            leaf = jnp.zeros_like(leaf)
+        out.append(leaf)
+    return jax.tree_util.tree_unflatten(flat[1], out)
+
+
+def train_trial(config: Dict, opts: TrainOptions, model_type: str,
+                report_fn: Optional[Callable[[Dict], bool]] = None) -> Dict:
+    """Run one training trial.  Returns the final metrics dict.
+
+    ``report_fn(metrics) -> keep_going`` is the scheduler hook (the
+    reference's ``tune.report`` / EarlyStopping fork, training.py:534-550);
+    returning False stops the trial (ASHA early termination).
+    """
+    printer = get_printer(opts.distributed, opts.trial_training_log)
+    t_start = time.time()
+
+    # --- tracks / continuous features ---------------------------------
+    tracks = None
+    if opts.bw_paths:
+        files, names, radii = read_track_list(opts.bw_paths,
+                                              config["local_radius"])
+        if files:
+            tracks = TrackSet(files, names, radii)
+        else:
+            printer("Warnings: no bigWig files provided in", opts.bw_paths)
+    else:
+        printer("NOTE: no bigWig files provided.")
+
+    # --- datasets ------------------------------------------------------
+    genome = Genome.from_fasta(opts.ref_genome)
+    step_t = time.time()
+    ds = prepare_dataset(
+        opts.train_data, genome, central_bp=config["segment_center"],
+        local_radius=config["local_radius"],
+        local_order=config["local_order"],
+        distal_radius=config["distal_radius"],
+        distal_order=opts.distal_order, model_type=model_type,
+        tracks=tracks, seq_only=opts.seq_only)
+    printer("training set preprocess used time:", time.time() - step_t)
+
+    if opts.validation_data:
+        printer("using given validation file:", opts.validation_data)
+        ds_train = ds
+        ds_valid = prepare_dataset(
+            opts.validation_data, genome,
+            central_bp=config["segment_center"],
+            local_radius=config["local_radius"],
+            local_order=config["local_order"],
+            distal_radius=config["distal_radius"],
+            distal_order=opts.distal_order, model_type=model_type,
+            tracks=tracks, seq_only=opts.seq_only)
+    else:
+        split_seed = (opts.split_seed if opts.split_seed is not None
+                      else np.random.randint(0, 10000))
+        train_ids, valid_ids = split_segments_like_torch(
+            ds.n_segments, opts.valid_ratio, split_seed)
+        ds_train = ds.subset_segments(train_ids)
+        ds_valid = ds.subset_segments(valid_ids)
+
+    train_size, valid_size = ds_train.n_sites, ds_valid.n_sites
+    printer("train_size, valid_size:", train_size, valid_size)
+
+    # --- config augmentation (training.py:170-177,246-255) ------------
+    config = dict(config)
+    config["n_class"] = opts.n_class
+    config["model_no"] = opts.model_no
+    config["without_bw_distal"] = opts.without_bw_distal
+    config["seq_only"] = opts.seq_only
+    config["restart_lr"] = config.get("restart_lr", 1e-4)
+    config["min_lr"] = config.get("min_lr", 1e-6)
+    if not config.get("transfer_learning"):
+        cat_dims = ds.cat_dims
+        config["emb_dims"] = [(x, min(16, int(x ** 0.25)))
+                              for x in cat_dims]
+
+    n_cont = ds.n_cont
+    in_channels = 4 ** opts.distal_order
+    common = {
+        "emb_dims": config["emb_dims"],
+        "n_cont": n_cont,
+        "n_class": opts.n_class,
+        "distal_order": opts.distal_order,
+        "in_channels": in_channels,
+    }
+    model = build_model(opts.model_no, config, common, model_type)
+
+    variables = _init_variables(model, ds, opts.rng_seed)
+    trainable_mask = None
+    if config.get("transfer_learning"):
+        template = {"params": variables["params"],
+                    "batch_stats": variables.get("batch_stats", {})}
+        restored = load_checkpoint(opts.model_path, template)
+        variables = dict(variables)
+        variables["params"] = restored["params"]
+        variables["batch_stats"] = restored["batch_stats"]
+        trainable_mask = _transfer_mask(variables["params"], model_type,
+                                        config.get("train_all", True))
+        if not config.get("init_fc_with_pretrained", False):
+            if model_type == "indel":
+                raise ValueError(
+                    "--init_fc_with_pretrained is required for INDEL "
+                    "transfer learning")
+            variables["params"] = _reinit_final_fcs(variables["params"],
+                                                    opts.rng_seed)
+    else:
+        variables = dict(variables)
+        variables["params"] = torch_style_init(variables["params"],
+                                               seed=opts.rng_seed)
+
+    total_params = sum(int(np.prod(np.shape(p)))
+                      for p in jax.tree.leaves(variables["params"]))
+    printer("Total Trainable Params:", total_params)
+
+    # --- optimizer / schedule -----------------------------------------
+    config["weight_decay"] = auto_weight_decay(
+        config.get("weight_decay_auto"), config["batch_size"],
+        opts.epochs, max(train_size, 1), config.get("weight_decay", 0.0))
+    printer("weight_decay:", config["weight_decay"])
+
+    schedule = LRSchedule.build(
+        config.get("lr_scheduler", "StepLR"), config["learning_rate"],
+        config.get("LR_gamma", 0.9), config["batch_size"],
+        max(train_size, 1), config["restart_lr"], config["min_lr"])
+    state = create_train_state(model, variables, config.get("optim", "Adam"),
+                               config["weight_decay"], schedule,
+                               trainable_mask=trainable_mask)
+    train_step = make_train_step(model)
+    eval_step = make_eval_step(model)
+    base_rng = jax.random.key(opts.rng_seed)
+
+    prob_names = [f"prob{i}" for i in range(opts.n_class)]
+    data_local_valid = ds_valid.local_frame()
+
+    es = EarlyStopping(patience=opts.grace_period, verbose=True,
+                       trace_func=printer)
+    min_loss, min_loss_epoch, after_min_loss = 0.0, 0, 0
+    metrics: Dict = {}
+    host_rng = np.random.default_rng(opts.rng_seed)
+
+    for epoch in range(opts.epochs):
+        epoch_t = time.time()
+        total_loss = 0.0
+        batch_count = 0
+        fetch_t = 0.0
+        train_t = 0.0
+        t0 = time.time()
+
+        batches = segment_pool_batches(
+            ds_train, config["sampled_segments"], config["batch_size"],
+            shuffle=True, rng=host_rng)
+        for db in prefetch(batches, size=2, device=opts.device):
+            fetch_t += time.time() - t0
+            batch_count += 1
+            t1 = time.time()
+            state, loss, lr = train_step(state, db.y, db.cat, db.cont,
+                                         db.distal, db.mask, base_rng)
+            total_loss += float(loss)
+            train_t += time.time() - t1
+            if batch_count % 1000 == 0:
+                printer(f"Batch {batch_count}: fetch {fetch_t:.1f}s, "
+                        f"train {train_t:.1f}s (last 1000)")
+                fetch_t = train_t = 0.0
+            t0 = time.time()
+
+        printer("optimizer learning rate:", float(state.lr()))
+
+        # ---- validation ----------------------------------------------
+        logits_parts: List[np.ndarray] = []
+        valid_total_loss = 0.0
+        vbatches = segment_pool_batches(
+            ds_valid, config["sampled_segments"], config["batch_size"],
+            shuffle=False, pad_final=True)
+        for db in prefetch(vbatches, size=2, device=opts.device):
+            logits, vloss = eval_step(state.params, state.batch_stats,
+                                      db.y, db.cat, db.cont, db.distal,
+                                      db.mask)
+            valid_total_loss += float(vloss)
+            logits_parts.append(np.asarray(logits[:db.n_valid]))
+        valid_logits = (np.concatenate(logits_parts) if logits_parts
+                        else np.zeros((0, opts.n_class)))
+        e = np.exp(valid_logits - valid_logits.max(axis=1, keepdims=True))
+        valid_probs = e / e.sum(axis=1, keepdims=True)
+
+        import pandas as pd
+        valid_y = data_local_valid["mut_type"].to_numpy()
+        fdiri_cal, fdiri_nll = calibrate_prob(valid_probs, valid_y,
+                                              "FullDiri", printer=printer)
+        prob_cal = fdiri_cal.predict_proba(valid_probs)
+        if opts.poisson_calib or model_type == "indel":
+            prob_poisson = poisson_calibrate(
+                pd.DataFrame(valid_probs, columns=prob_names))
+
+        ev0 = Evaluator(data_local_valid, valid_probs, opts.n_class,
+                        printer=printer)
+        ev1 = Evaluator(data_local_valid, prob_cal, opts.n_class,
+                        calibra="FullDiri", printer=printer)
+        kmer_list = [2, 4, 6] if model_type == "indel" else [3, 5, 7]
+        ev0.evaluate_kmer(kmer_list)
+        ev1.evaluate_kmer(kmer_list)
+        if opts.poisson_calib:
+            evp = Evaluator(data_local_valid, prob_poisson.to_numpy(),
+                            opts.n_class, calibra="Poisson",
+                            printer=printer)
+            evp.evaluate_kmer(kmer_list)
+
+        printer("Training Loss: ", total_loss / max(train_size, 1))
+        printer("Validation Loss: ", valid_total_loss / max(valid_size, 1))
+        printer("Validation Loss (after fdiri_cal): ", fdiri_nll)
+
+        ev0.evaluate_regional_score(valid_size, kmer_list[:2])
+        ev1.evaluate_regional_score(valid_size, kmer_list[:2])
+        if opts.poisson_calib:
+            evp.evaluate_regional_score(valid_size, kmer_list[:2])
+
+        chr_pos = ds_valid.position_frame()
+        save_path = os.path.join(opts.trial_dir, f"checkpoint_{epoch}",
+                                 "model")
+        ev0.evaluate_regional_corr(
+            chr_pos, save_valid_preds=opts.save_valid_preds,
+            save_path=save_path)
+        ev1.evaluate_regional_corr(chr_pos)
+        if opts.poisson_calib:
+            evp.evaluate_regional_corr(chr_pos)
+
+        save_checkpoint(save_path, state.params, state.batch_stats,
+                        config, fdiri_cal)
+
+        current_loss = valid_total_loss / max(valid_size, 1)
+        if epoch == 0 or current_loss < min_loss:
+            min_loss, min_loss_epoch, after_min_loss = \
+                current_loss, epoch, 0
+        else:
+            after_min_loss = epoch - min_loss_epoch
+
+        metrics = {
+            "loss": current_loss,
+            "fdiri_loss": fdiri_nll,
+            "after_min_loss": after_min_loss,
+            "score": ev0.metrics.get("score", float("nan")),
+            "total_params": total_params,
+            "epoch": epoch,
+        }
+        report_path = os.path.join(opts.trial_dir, f"checkpoint_{epoch}",
+                                   f"epoch_{epoch}_metrics.txt")
+        with open(report_path, "w") as fh:
+            for k, v in metrics.items():
+                fh.write(f"{k}: {v}\n")
+
+        keep_going = True
+        if report_fn is not None:
+            keep_going = report_fn(metrics) is not False
+        es(current_loss)
+        if es.early_stop:
+            printer("Early stopping")
+            break
+        if not keep_going:
+            printer("Trial stopped by scheduler")
+            break
+
+        # ROP epoch update (training.py:553-554): patience 1, thresh 1e-4
+        if config.get("lr_scheduler") == "ROP":
+            improved = current_loss < min_loss + 1e-4 and \
+                after_min_loss == 0
+            state = state.rop_plateau_update(after_min_loss < 2)
+
+        state = state.next_epoch()
+        printer(f"Epoch {epoch} used time: {time.time() - epoch_t:.1f}s")
+        sys.stdout.flush()
+
+    best_epoch = metrics.get("epoch", 0) - es.counter
+    printer(f"Best Epoch: {best_epoch}")
+    printer(f"training finished, total time "
+            f"{time.time() - t_start:.1f}s")
+    metrics["best_epoch"] = best_epoch
+    from mural_tpu.utils.trials import write_progress_csv
+    write_progress_csv(opts.trial_dir)
+    return metrics

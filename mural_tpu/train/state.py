@@ -24,6 +24,7 @@ class TrainState(struct.PyTreeNode):
     step: jnp.ndarray                       # int32 optimizer-step counter
     epoch: jnp.ndarray                      # int32 epoch counter
     rop_lr: jnp.ndarray                     # current LR for the ROP schedule
+    trainable_mask: Any                     # pytree of 0/1 (transfer freeze)
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
     schedule: LRSchedule = struct.field(pytree_node=False)
 
@@ -43,14 +44,21 @@ class TrainState(struct.PyTreeNode):
 
 def create_train_state(model, variables, optim_name: str,
                        weight_decay: float, schedule: LRSchedule,
-                       grad_clip: float = 10.0) -> TrainState:
+                       grad_clip: float = 10.0,
+                       trainable_mask=None) -> TrainState:
     """grad_clip mirrors ``clip_grad_norm_(model.parameters(), 10)``
-    (training.py:434), applied before the optimizer update."""
+    (training.py:434), applied before the optimizer update.
+    ``trainable_mask``: optional pytree of 0/1 floats matching params;
+    frozen leaves get zero updates (the transfer-learning freeze,
+    training.py:301-314)."""
     tx = optax.chain(
         optax.clip_by_global_norm(grad_clip),
         build_optimizer(optim_name, weight_decay),
     )
     params = variables["params"]
+    if trainable_mask is None:
+        trainable_mask = jax.tree.map(
+            lambda p: jnp.ones((), jnp.float32), params)
     return TrainState(
         params=params,
         batch_stats=variables.get("batch_stats", {}),
@@ -58,6 +66,7 @@ def create_train_state(model, variables, optim_name: str,
         step=jnp.zeros((), jnp.int32),
         epoch=jnp.zeros((), jnp.int32),
         rop_lr=jnp.asarray(schedule.base_lr, jnp.float32),
+        trainable_mask=trainable_mask,
         tx=tx,
         schedule=schedule,
     )

@@ -59,7 +59,8 @@ def make_train_step(model, donate: bool = True):
             loss_fn, has_aux=True)(state.params)
         updates, opt_state = state.tx.update(grads, state.opt_state,
                                              state.params)
-        updates = jax.tree.map(lambda u: -lr * u, updates)
+        updates = jax.tree.map(lambda u, m: -lr * u * m, updates,
+                               state.trainable_mask)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(params=params, batch_stats=new_stats,
                                   opt_state=opt_state, step=state.step + 1)
