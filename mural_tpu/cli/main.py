@@ -1,0 +1,337 @@
+"""Shared CLI dispatch for mural_snv / mural_indel.
+
+Re-implements the reference's ``main()`` dispatch
+(MuRaL/mural_snv.py:86-127, mural_indel.py:87-135) plus the pipeline
+orchestration of ``run_train_pipline`` / ``run_transfer_pipline``
+(scripts/run_train_raytune.py:50-315, run_train_TL_raytune.py:52-337)
+without Ray: standalone mode takes the first element of each flag list;
+``--use_ray`` turns the lists into an ASHA-scheduled search space.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from mural_tpu.cli import commands as C
+
+
+def create_parser(model_type: str) -> argparse.ArgumentParser:
+    prog = f"mural_{model_type}"
+    parser = argparse.ArgumentParser(
+        prog=prog,
+        description=f"{prog}: TPU-native germline "
+                    f"{'SNV' if model_type == 'snv' else 'INDEL'} "
+                    "mutation rate estimation",
+        formatter_class=argparse.RawTextHelpFormatter)
+    sub = parser.add_subparsers(dest="command")
+    C.add_train_parser(sub, model_type)
+    C.add_transfer_parser(sub, model_type)
+    C.add_predict_parser(sub, model_type)
+    C.add_evaluate_parser(sub, model_type)
+    C.add_scale_parser(sub, model_type)
+    C.add_calc_scaling_factor_parser(sub, model_type)
+    C.add_get_best_model_parser(sub, model_type)
+    return parser
+
+
+def _abspath(p):
+    return os.path.abspath(p) if p else p
+
+
+def _build_space(args, model_type: str):
+    """Search space (scheduler mode) or first-element config (standalone)
+    -- parity with run_train_raytune.py:186-282."""
+    from mural_tpu.tune.space import Choice, SampleFrom, loguniform_or_choice
+
+    if not args.use_ray:
+        config = {
+            "segment_center": args.segment_center,
+            "distal_radius": args.distal_radius[0],
+            "CNN_kernel_size": args.CNN_kernel_size[0],
+            "CNN_out_channels": args.CNN_out_channels[0],
+            "batch_size": args.batch_size[0],
+            "sampled_segments": args.sampled_segments[0],
+            "learning_rate": args.learning_rate[0],
+            "optim": args.optim[0],
+            "lr_scheduler": args.lr_scheduler[0],
+            "LR_gamma": args.LR_gamma[0],
+            "weight_decay": args.weight_decay[0],
+            "weight_decay_auto": args.weight_decay_auto,
+            "restart_lr": args.restart_lr,
+            "min_lr": args.min_lr,
+            "transfer_learning": False,
+        }
+        if model_type == "snv":
+            h2 = args.local_hidden2_size[0]
+            config.update({
+                "local_radius": args.local_radius[0],
+                "local_order": args.local_order[0],
+                "local_hidden1_size": args.local_hidden1_size[0],
+                "local_hidden2_size": (h2 if h2 > 0
+                                       else args.local_hidden1_size[0] // 2),
+                "emb_dropout": args.emb_dropout[0],
+                "distal_fc_dropout": args.distal_fc_dropout[0],
+                "local_dropout": args.local_dropout[0],
+            })
+        else:
+            config.update({
+                "local_radius": 6,
+                "local_order": 1,
+                "local_hidden1_size": None,
+                "local_hidden2_size": None,
+                "emb_dropout": None,
+                "distal_fc_dropout": None,
+                "local_dropout": None,
+                "use_reverse": args.use_reverse,
+                "down_list": args.down_list,
+            })
+        return config
+
+    config = {
+        "segment_center": args.segment_center,
+        "distal_radius": Choice(args.distal_radius),
+        "CNN_kernel_size": Choice(args.CNN_kernel_size),
+        "CNN_out_channels": Choice(args.CNN_out_channels),
+        "batch_size": Choice(args.batch_size),
+        "sampled_segments": Choice(args.sampled_segments),
+        "learning_rate": loguniform_or_choice(args.learning_rate),
+        "optim": Choice(args.optim),
+        "lr_scheduler": Choice(args.lr_scheduler),
+        "LR_gamma": Choice(args.LR_gamma),
+        "weight_decay": loguniform_or_choice(args.weight_decay),
+        "weight_decay_auto": args.weight_decay_auto,
+        "restart_lr": args.restart_lr,
+        "min_lr": args.min_lr,
+        "transfer_learning": False,
+    }
+    if model_type == "snv":
+        config.update({
+            "local_radius": Choice(args.local_radius),
+            "local_order": Choice(args.local_order),
+            "local_hidden1_size": Choice(args.local_hidden1_size),
+            "local_hidden2_size": (
+                Choice(args.local_hidden2_size)
+                if max(args.local_hidden2_size) > 0
+                else SampleFrom(lambda c: c["local_hidden1_size"] // 2)),
+            "emb_dropout": Choice(args.emb_dropout),
+            "distal_fc_dropout": Choice(args.distal_fc_dropout),
+            "local_dropout": Choice(args.local_dropout),
+        })
+    else:
+        config.update({
+            "local_radius": 6,
+            "local_order": 1,
+            "local_hidden1_size": None,
+            "local_hidden2_size": None,
+            "emb_dropout": None,
+            "distal_fc_dropout": None,
+            "local_dropout": None,
+            "use_reverse": args.use_reverse,
+            "down_list": args.down_list,
+        })
+    return config
+
+
+def _base_train_opts(args, model_type: str):
+    from mural_tpu.train.loop import TrainOptions
+    return TrainOptions(
+        train_data=_abspath(args.train_data),
+        ref_genome=_abspath(args.ref_genome),
+        validation_data=_abspath(args.validation_data),
+        bw_paths=_abspath(args.bw_paths),
+        distal_order=getattr(args, "distal_order", 1),
+        seq_only=args.seq_only,
+        without_bw_distal=getattr(args, "without_bw_distal", False),
+        n_class=args.n_class,
+        model_no=getattr(args, "model_no", 0),
+        epochs=args.epochs,
+        valid_ratio=args.valid_ratio,
+        split_seed=(args.split_seed if args.split_seed >= 0 else None),
+        save_valid_preds=args.save_valid_preds,
+        poisson_calib=args.poisson_calib,
+        grace_period=args.grace_period,
+    )
+
+
+def cmd_train(args, model_type: str) -> int:
+    from mural_tpu.tune.runner import ExperimentOptions, run_experiment
+    space = _build_space(args, model_type)
+    opts = _base_train_opts(args, model_type)
+    exp = ExperimentOptions(
+        experiment_name=args.experiment_name,
+        results_dir="./results",
+        n_trials=args.n_trials,
+        epochs=args.epochs,
+        grace_period=args.grace_period,
+        asha_metric=args.ASHA_metric,
+        use_scheduler=args.use_ray,
+        n_parallel=args.n_parallel,
+        rerun_failed=args.rerun_failed,
+    )
+    run_experiment(space, opts, model_type, exp)
+    return 0
+
+
+def cmd_transfer(args, model_type: str) -> int:
+    """run_train_TL_raytune.py:52-337: architecture comes from the
+    checkpoint's pickled config; learning params come from the CLI."""
+    from mural_tpu.train.checkpoint import load_config
+    from mural_tpu.tune.runner import ExperimentOptions, run_experiment
+
+    if not args.train_all:
+        print(f"Warning: --train_all is required for {model_type} "
+              "transfer learning! Setting it to True.")
+        args.train_all = True
+
+    saved = load_config(_abspath(args.model_config_path))
+    config = dict(saved)
+    config["transfer_learning"] = True
+    config["train_all"] = args.train_all
+    config["init_fc_with_pretrained"] = args.init_fc_with_pretrained
+    # CLI-overridable learning parameters (TL script :225-254)
+    config["batch_size"] = args.batch_size[0]
+    config["optim"] = args.optim[0]
+    config["learning_rate"] = args.learning_rate[0]
+    config["lr_scheduler"] = args.lr_scheduler[0]
+    config["LR_gamma"] = args.LR_gamma[0]
+    config["weight_decay"] = args.weight_decay[0]
+    config["weight_decay_auto"] = args.weight_decay_auto
+    config["restart_lr"] = args.restart_lr
+    config["min_lr"] = args.min_lr
+    if args.segment_center:
+        config["segment_center"] = args.segment_center
+    if args.sampled_segments:
+        config["sampled_segments"] = args.sampled_segments
+    config.setdefault("sampled_segments", 10)
+
+    opts = _base_train_opts(args, model_type)
+    import dataclasses
+    opts = dataclasses.replace(
+        opts, model_no=saved.get("model_no", 0),
+        model_path=_abspath(args.model_path),
+        train_all=args.train_all,
+        init_fc_with_pretrained=args.init_fc_with_pretrained,
+        n_class=saved.get("n_class", args.n_class))
+    exp = ExperimentOptions(
+        experiment_name=args.experiment_name,
+        n_trials=args.n_trials, epochs=args.epochs,
+        grace_period=args.grace_period, asha_metric=args.ASHA_metric,
+        use_scheduler=args.use_ray, n_parallel=args.n_parallel,
+        rerun_failed=args.rerun_failed)
+    run_experiment(config, opts, model_type, exp)
+    return 0
+
+
+def cmd_predict(args, model_type: str) -> int:
+    from mural_tpu.predict import PredictOptions, run_predict
+    if args.cpu_only:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    opts = PredictOptions(
+        test_data=_abspath(args.test_data),
+        ref_genome=_abspath(args.ref_genome),
+        model_path=_abspath(args.model_path),
+        model_config_path=_abspath(args.model_config_path),
+        calibrator_path=_abspath(args.calibrator_path),
+        pred_file=args.pred_file,
+        poisson_calib=args.poisson_calib,
+        pred_batch_size=args.pred_batch_size,
+        segment_center=args.segment_center,
+        bw_paths=_abspath(args.bw_paths),
+        kmer_corr=args.kmer_corr,
+        region_corr=args.region_corr,
+        pred_time_view=args.pred_time_view,
+        n_devices=args.n_devices,
+    )
+    run_predict(opts, model_type)
+    return 0
+
+
+def cmd_evaluate(args, model_type: str) -> int:
+    from mural_tpu.evaluation.corr_files import (run_kmer_corr,
+                                                 run_motif_corr,
+                                                 run_regional_corr)
+    assert not (args.kmer_only and args.regional_only), \
+        "Please set one of --kmer_only or --regional_only to True."
+    strand = None
+    if model_type == "indel":
+        strand = {"pos": "+", "neg": "-", "both": "both"}[args.strand]
+
+    def kmer():
+        assert args.ref_genome, ("--ref_genome is required for k-mer "
+                                 "correlation calculation")
+        run_kmer_corr(args.pred_file, args.ref_genome, args.out_prefix,
+                      args.kmer_length, args.n_class, model_type,
+                      strand_override=strand)
+
+    def regional():
+        run_regional_corr(args.pred_file, args.out_prefix,
+                          args.window_size, args.ratio_cutoff,
+                          args.n_class)
+
+    if args.kmer_only:
+        kmer()
+        return 0
+    if args.regional_only:
+        regional()
+        return 0
+    if model_type == "indel" and args.motif_only:
+        run_motif_corr(args.pred_file, args.ref_genome, args.out_prefix,
+                       args.motif_length, args.n_class, model_type)
+        return 0
+    kmer()
+    regional()
+    return 0
+
+
+def cmd_scale(args, model_type: str) -> int:
+    from mural_tpu.predict.scaling import scaling_files
+    scaling_files(args.pred_file, args.scale_factor, args.n_class,
+                  args.out_file)
+    return 0
+
+
+def cmd_calc_scaling_factor(args, model_type: str) -> int:
+    from mural_tpu.predict.scaling import calc_mu_scaling_factor
+    calc_mu_scaling_factor(
+        args.pred_files, args.genomewide_mu, args.m_proportions,
+        args.n_class, model_type,
+        g_proportions=getattr(args, "g_proportions", None),
+        benchmark_regions=args.benchmark_regions or None,
+        do_scaling=args.do_scaling)
+    return 0
+
+
+def cmd_get_best_model(args, model_type: str) -> int:
+    from mural_tpu.utils.trials import scan_experiment_best
+    best = scan_experiment_best(args.trial_path)
+    if not best:
+        print("No finished trials found under", args.trial_path)
+        return 1
+    print(f"{'loss':>12}  checkpoint")
+    for path, loss in best:
+        print(f"{loss:>12.6g}  {path}")
+    return 0
+
+
+_DISPATCH = {
+    "train": cmd_train,
+    "transfer": cmd_transfer,
+    "predict": cmd_predict,
+    "evaluate": cmd_evaluate,
+    "scale": cmd_scale,
+    "calc_scaling_factor": cmd_calc_scaling_factor,
+    "get_best_model": cmd_get_best_model,
+}
+
+
+def main(model_type: str, argv=None) -> int:
+    parser = create_parser(model_type)
+    args = parser.parse_args(argv)
+    if not getattr(args, "func", None):
+        parser.print_help()
+        return 1
+    print(" ".join(sys.argv))
+    return _DISPATCH[args.func](args, model_type)

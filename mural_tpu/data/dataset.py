@@ -84,7 +84,11 @@ class SiteDataset:
 
     # ------------------------------------------------------------------
     def gather_distal(self, rows: np.ndarray) -> np.ndarray:
-        """uint8 code windows (len(rows), distal_width) for given site rows."""
+        """uint8 code windows (len(rows), distal_width) for given site rows.
+
+        Uses the native C++ gather when available (built on demand,
+        mural_tpu/native/encoder.cpp), falling back to numpy."""
+        from mural_tpu import native
         rows = np.asarray(rows)
         width = self.distal_width
         out = np.empty((len(rows), width), dtype=np.uint8)
@@ -94,8 +98,8 @@ class SiteDataset:
         neg = self.strand_neg[rows]
         for cid in np.unique(cids):
             m = cids == cid
-            out[m] = enc.gather_windows(self.chrom_codes[cid], starts[m],
-                                        width, neg[m])
+            out[m] = native.gather_windows(self.chrom_codes[cid],
+                                           starts[m], width, neg[m])
         return out
 
     def local_frame(self):
@@ -208,7 +212,8 @@ def prepare_dataset(bed: "BedFile | str", genome: "Genome | str",
     local1 = enc.order1_local(local_windows, model_type)
 
     if local_order > 1:
-        cat = enc.kmer_ids(local_windows, local_order)
+        from mural_tpu import native
+        cat = native.kmer_pack(local_windows, local_order)
     else:
         cat = local1.astype(np.int32)
 

@@ -1,0 +1,291 @@
+"""File-level evaluation pipelines for the ``evaluate`` sub-command.
+
+Re-implements the reference's streaming scripts with vectorized per-
+chromosome processing over the uint8 genome codes:
+
+- k-mer correlation      (MuRaL/scripts/calc_kmer_corr.py:194-271)
+- regional correlation   (calc_regional_corr.py:168-213)
+- motif correlation      (calc_motif_corr.py:191-260; the reference
+  crashes on a namespace bug at :239 -- fixed here)
+
+Output file naming and column schemas match the reference:
+``<prefix>.<k>-mer.mut_rates.tsv`` / ``.corr.txt``,
+``<prefix>.<N>Kb.mut_rates.tsv`` / ``.corr.txt``,
+``<prefix>.<k>-motif.mut_rates.tsv`` / ``.corr.txt``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from mural_tpu.genome import encode as enc
+from mural_tpu.genome.fasta import COMPLEMENT, Genome, decode_sequence
+
+
+def _read_pred(pred_file: str, n_class: int):
+    import pandas as pd
+    df = pd.read_csv(pred_file, sep="\t")
+    if df.columns[0] != "chrom":
+        raise ValueError(f"Invalid file header: {list(df.columns)}; "
+                         "first column should be 'chrom'")
+    if len(df.columns) != n_class + 5:
+        raise ValueError(f"Column count mismatch. Expected {n_class + 5} "
+                         f"columns, got {len(df.columns)}")
+    return df
+
+
+def _extend_interval(start, stop, left, right, model_type):
+    """(ref preprocessing.py:559-567) asymmetric-radius window."""
+    if model_type == "snv":
+        return start - left, stop + right
+    return start - left + 1, stop + right
+
+
+def _gather_kmers(genome: Genome, df, left: int, right: int, width: int,
+                  model_type: str):
+    """Per-row k-mer codes (n, width) plus validity mask (ACGT-only and
+    fully inside the chromosome)."""
+    n = len(df)
+    out = np.full((n, width), 14, dtype=np.uint8)
+    inside = np.zeros(n, dtype=bool)
+    chroms = df["chrom"].to_numpy()
+    starts = df["start"].to_numpy().astype(np.int64)
+    stops = df["end"].to_numpy().astype(np.int64)
+    s0, _ = _extend_interval(starts, stops, left, right, model_type)
+    for c in np.unique(chroms):
+        m = chroms == c
+        if c not in genome:
+            continue
+        codes = genome[c]
+        out[m] = enc.gather_windows(codes, s0[m], width,
+                                    np.zeros(m.sum(), bool))
+        inside[m] = (s0[m] >= 0) & (s0[m] + width <= len(codes))
+    valid = inside & (out < 4).all(axis=1)
+    return out, valid
+
+
+def _pack(codes: np.ndarray) -> np.ndarray:
+    key = np.zeros(len(codes), dtype=np.int64)
+    for j in range(codes.shape[1]):
+        key = key * 4 + codes[:, j]
+    return key
+
+
+def _revcomp_key(codes: np.ndarray) -> np.ndarray:
+    return _pack(COMPLEMENT[codes][:, ::-1])
+
+
+def _key_to_kmer(key: int, k: int) -> str:
+    digits = []
+    for _ in range(k):
+        digits.append(key % 4)
+        key //= 4
+    return decode_sequence(np.asarray(digits[::-1], dtype=np.uint8))
+
+
+class _Accumulator:
+    """Per-key obs counts and prob sums."""
+
+    def __init__(self, n_keys: int, n_class: int):
+        self.obs = np.zeros((n_keys, n_class))
+        self.pred = np.zeros((n_keys, n_class))
+        self.n_class = n_class
+
+    def add(self, keys, mut, probs):
+        n_keys = self.obs.shape[0]
+        for i in range(self.n_class):
+            self.obs[:, i] += np.bincount(
+                keys, weights=(mut == i).astype(np.float64),
+                minlength=n_keys)
+            self.pred[:, i] += np.bincount(keys, weights=probs[:, i],
+                                           minlength=n_keys)
+
+    def rates_frame(self, labels: List[str]):
+        """mut_rates.tsv schema (calc_kmer_corr.py:124-163)."""
+        import pandas as pd
+        present = self.obs.sum(axis=1) > 0
+        obs, pred = self.obs[present], self.pred[present]
+        total = obs.sum(axis=1)
+        cols = {}
+        nc = self.n_class
+        data = np.concatenate([obs[:, 1:] / total[:, None],
+                               pred[:, 1:] / total[:, None],
+                               obs[:, 1:], total[:, None]], axis=1)
+        names = ([f"avg_obs_rate{i}" for i in range(1, nc)]
+                 + [f"avg_pred_rate{i}" for i in range(1, nc)]
+                 + [f"number_of_mut{i}" for i in range(1, nc)]
+                 + ["number_of_all"])
+        df = pd.DataFrame(data, columns=names)
+        for c in names[2 * (nc - 1):]:
+            df[c] = df[c].astype(int)
+        df.insert(0, "type", [labels[i] for i in np.nonzero(present)[0]])
+        return df
+
+
+def _correlations(df, n_class: int) -> Dict[int, Tuple[float, float]]:
+    from scipy.stats import pearsonr
+    return {i: tuple(pearsonr(df[f"avg_obs_rate{i}"],
+                              df[f"avg_pred_rate{i}"]))
+            for i in range(1, n_class)}
+
+
+def run_kmer_corr(pred_file: str, ref_genome: str, out_prefix: str,
+                  kmer_length: int, n_class: int, model_type: str = "snv",
+                  strand_override: Optional[str] = None, genome=None,
+                  printer=print) -> Dict[int, Tuple[float, float]]:
+    """k-mer obs/pred correlation (ref calc_kmer_corr.py).
+
+    ``strand_override``: INDEL mode replaces per-row strand with the CLI
+    --strand value ('+', '-' or 'both'; ref :223-224)."""
+    if kmer_length <= 1 or kmer_length % 2 != 1:
+        raise ValueError("--kmer_length must be a positive odd integer >1")
+    df = _read_pred(pred_file, n_class)
+    genome = genome or Genome.from_fasta(ref_genome)
+    radius = kmer_length // 2
+
+    codes, valid = _gather_kmers(genome, df, radius, radius, kmer_length,
+                                 model_type)
+    mut = df["mut_type"].to_numpy().astype(np.int64)
+    probs = df[[f"prob{i}" for i in range(n_class)]].to_numpy(np.float64)
+
+    if strand_override and model_type == "indel":
+        strand = np.full(len(df), strand_override)
+    else:
+        strand = df["strand"].to_numpy()
+
+    acc = _Accumulator(4 ** kmer_length, n_class)
+    fwd_key = _pack(codes)
+    rev_key = _revcomp_key(codes)
+    plus = valid & ((strand == "+") | (strand == "both"))
+    minus = valid & ((strand == "-") | (strand == "both"))
+    if plus.any():
+        acc.add(fwd_key[plus], mut[plus], probs[plus])
+    if minus.any():
+        acc.add(rev_key[minus], mut[minus], probs[minus])
+
+    labels = None
+
+    class _LazyLabels:
+        def __getitem__(self, i):
+            return _key_to_kmer(i, kmer_length)
+
+    rates = acc.rates_frame(_LazyLabels())
+    corr = _correlations(rates, n_class)
+
+    rates.to_csv(f"{out_prefix}.{kmer_length}-mer.mut_rates.tsv",
+                 sep="\t", index=False)
+    with open(f"{out_prefix}.{kmer_length}-mer.corr.txt", "w") as fh:
+        for subtype, (c, p) in corr.items():
+            fh.write(f"{kmer_length}-mer\t{subtype}\t{c:.5f}\t{p:.10e}\n")
+    for subtype, (c, p) in corr.items():
+        printer(f"{kmer_length}-mer subtype {subtype}: r={c:.5f} p={p:.3e}")
+    return corr
+
+
+def run_regional_corr(pred_file: str, out_prefix: str, window_size: int,
+                      ratio_cutoff: float, n_class: int,
+                      printer=print) -> Dict[int, Tuple[float, float]]:
+    """Regional obs/pred correlation with median-based window filtering
+    (ref calc_regional_corr.py:168-213)."""
+    import pandas as pd
+    df = _read_pred(pred_file, n_class)
+    window_end = (df["start"].to_numpy().astype(np.int64) // window_size
+                  * window_size + window_size)
+    key = pd.MultiIndex.from_arrays([df["chrom"], window_end])
+    codes, uniques = pd.factorize(key)
+
+    mut = df["mut_type"].to_numpy().astype(np.int64)
+    probs = df[[f"prob{i}" for i in range(n_class)]].to_numpy(np.float64)
+    n_win = len(uniques)
+    obs = np.zeros((n_win, n_class))
+    pred = np.zeros((n_win, n_class))
+    for i in range(n_class):
+        obs[:, i] = np.bincount(codes, weights=(mut == i).astype(float),
+                                minlength=n_win)
+        pred[:, i] = np.bincount(codes, weights=probs[:, i],
+                                 minlength=n_win)
+    total = obs.sum(axis=1)
+
+    nc = n_class
+    names = ([f"avg_obs_rate{i}" for i in range(1, nc)]
+             + [f"avg_pred_rate{i}" for i in range(1, nc)]
+             + [f"number_of_mut{i}" for i in range(1, nc)]
+             + ["number_of_all"])
+    data = np.concatenate([obs[:, 1:] / total[:, None],
+                           pred[:, 1:] / total[:, None],
+                           obs[:, 1:], total[:, None]], axis=1)
+    out = pd.DataFrame(data, columns=names)
+    out.insert(0, "chrom", [u[0] for u in uniques])
+    out.insert(1, "window_end", [u[1] for u in uniques])
+    for c in names[2 * (nc - 1):]:
+        out[c] = out[c].astype(int)
+
+    cutoff = ratio_cutoff * np.median(out["number_of_all"].to_numpy())
+    out["used_or_deprecated"] = np.where(
+        out["number_of_all"] >= cutoff, "used", "deprecated")
+    used = out[out["used_or_deprecated"] == "used"]
+    corr = _correlations(used, n_class)
+
+    kb = f"{window_size // 1000}Kb"
+    out.to_csv(f"{out_prefix}.{kb}.mut_rates.tsv", sep="\t", index=False)
+    with open(f"{out_prefix}.{kb}.corr.txt", "w") as fh:
+        for subtype, (c, p) in corr.items():
+            fh.write(f"{kb}\t{subtype}\t{c:.5f}\t{p:.10e}\n")
+    for subtype, (c, p) in corr.items():
+        printer(f"{kb} subtype {subtype}: r={c:.5f} p={p:.3e}")
+    return corr
+
+
+def run_motif_corr(pred_file: str, ref_genome: str, out_prefix: str,
+                   motif_length: int, n_class: int,
+                   model_type: str = "indel", merge_reverse: bool = True,
+                   genome=None, printer=print
+                   ) -> Dict[int, Tuple[float, float]]:
+    """Motif correlation: every motif placement covering the site counts
+    (ref calc_motif_corr.py:191-260).  Reverse-complement motif pairs are
+    merged into one canonical key (the reference merges into whichever
+    orientation it saw first; we use the lexicographically smaller one --
+    the partition, and therefore the correlations, are identical)."""
+    if motif_length <= 1 or motif_length % 2 != 1:
+        raise ValueError("--motif_length must be a positive odd integer >1")
+    df = _read_pred(pred_file, n_class)
+    genome = genome or Genome.from_fasta(ref_genome)
+
+    if model_type == "indel":
+        placements = [(i, motif_length - i) for i in range(1, motif_length)]
+    else:
+        placements = [(i, motif_length - 1 - i) for i in range(motif_length)]
+
+    mut = df["mut_type"].to_numpy().astype(np.int64)
+    probs = df[[f"prob{i}" for i in range(n_class)]].to_numpy(np.float64)
+
+    acc = _Accumulator(4 ** motif_length, n_class)
+    for left, right in placements:
+        codes, valid = _gather_kmers(genome, df, left, right, motif_length,
+                                     model_type)
+        if not valid.any():
+            continue
+        key = _pack(codes[valid])
+        if merge_reverse:
+            rkey = _revcomp_key(codes[valid])
+            key = np.minimum(key, rkey)
+        acc.add(key, mut[valid], probs[valid])
+
+    class _LazyLabels:
+        def __getitem__(self, i):
+            return _key_to_kmer(i, motif_length)
+
+    rates = acc.rates_frame(_LazyLabels())
+    corr = _correlations(rates, n_class)
+    rates.to_csv(f"{out_prefix}.{motif_length}-motif.mut_rates.tsv",
+                 sep="\t", index=False)
+    with open(f"{out_prefix}.{motif_length}-motif.corr.txt", "w") as fh:
+        for subtype, (c, p) in corr.items():
+            fh.write(f"{motif_length}-motif\t{subtype}\t{c:.5f}"
+                     f"\t{p:.10e}\n")
+    for subtype, (c, p) in corr.items():
+        printer(f"{motif_length}-motif subtype {subtype}: r={c:.5f} "
+                f"p={p:.3e}")
+    return corr

@@ -80,7 +80,10 @@ class TorchBatchNorm(nn.Module):
         else:
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(x, axes)
-            var = jnp.mean(jnp.square(x), axes) - jnp.square(mean)
+            # two-pass variance: the E[x^2]-E[x]^2 form cancels
+            # catastrophically in f32 on TPU-sized reductions and can go
+            # negative -> rsqrt NaN
+            var = jnp.maximum(jnp.mean(jnp.square(x - mean), axes), 0.0)
             n = x.size // feat
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():

@@ -1,0 +1,176 @@
+"""Experiment runner: trials across TPU devices, ASHA early stopping.
+
+Replaces both of the reference's execution modes (SURVEY.md 2.3):
+
+- standalone serial trials (``run_standalong_training``,
+  utils/train_utils.py:47-82) -> ``n_parallel=1``;
+- Ray Tune fractional-GPU trial packing (run_train_raytune.py:303-315)
+  -> one trial per TPU device, dispatched to worker threads each pinned
+  to a device via ``jax.default_device`` (trials are independent; no
+  collectives needed).
+
+Failure handling parity: a trial that raises is recorded in
+``<trial>/error.txt``; ``rerun_failed`` re-runs only errored trials
+(ref ``resume='ERRORED_ONLY'``, run_train_raytune.py:233-236,314).
+The ``after_min_loss >= 3`` stop rule mirrors ``stop={'after_min_loss':
+3}`` (:308).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import random
+import threading
+import traceback
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from mural_tpu.train.loop import TrainOptions, train_trial
+from mural_tpu.tune.asha import ASHAScheduler
+from mural_tpu.tune.space import sample_config
+from mural_tpu.utils.trials import (generate_trial_id,
+                                    scan_experiment_best,
+                                    write_progress_csv)
+
+AFTER_MIN_LOSS_STOP = 3
+
+
+@dataclasses.dataclass
+class ExperimentOptions:
+    experiment_name: str
+    results_dir: str = "./results"
+    n_trials: int = 2
+    epochs: int = 10
+    grace_period: int = 5
+    asha_metric: str = "loss"
+    use_scheduler: bool = False       # reference's --use_ray analogue
+    n_parallel: int = 1               # trials run concurrently (devices)
+    rerun_failed: bool = False
+    seed: Optional[int] = None
+
+
+def _trial_worker(trial_id: str, config: Dict, opts: TrainOptions,
+                  model_type: str, scheduler: Optional[ASHAScheduler],
+                  device=None):
+    import jax
+
+    iteration = {"n": 0}
+
+    def report(metrics: Dict) -> bool:
+        iteration["n"] += 1
+        if metrics.get("after_min_loss", 0) >= AFTER_MIN_LOSS_STOP:
+            return False
+        if scheduler is not None:
+            return scheduler.on_report(trial_id, iteration["n"], metrics)
+        return True
+
+    try:
+        if device is not None:
+            with jax.default_device(device):
+                metrics = train_trial(config, opts, model_type,
+                                      report_fn=report)
+        else:
+            metrics = train_trial(config, opts, model_type,
+                                  report_fn=report)
+        return trial_id, metrics, None
+    except Exception as err:  # recorded for rerun_failed
+        os.makedirs(opts.trial_dir, exist_ok=True)
+        with open(os.path.join(opts.trial_dir, "error.txt"), "w") as fh:
+            fh.write(traceback.format_exc())
+        return trial_id, None, err
+
+
+def run_experiment(space: Dict, base_opts: TrainOptions, model_type: str,
+                   exp: ExperimentOptions,
+                   printer=print) -> List:
+    """Sample + run ``n_trials`` configs.  Returns the sorted best-model
+    list [(checkpoint_path, loss), ...]."""
+    import jax
+
+    exp_dir = os.path.join(exp.results_dir, exp.experiment_name)
+    os.makedirs(exp_dir, exist_ok=True)
+
+    rng = np.random.default_rng(exp.seed)
+    id_rng = random.Random(exp.seed)
+
+    scheduler = None
+    if exp.use_scheduler:
+        scheduler = ASHAScheduler(metric=exp.asha_metric, mode="min",
+                                  max_t=exp.epochs,
+                                  grace_period=exp.grace_period)
+
+    # assemble trial list (fresh, or only errored ones on rerun_failed)
+    trials = []
+    if exp.rerun_failed:
+        for name in sorted(os.listdir(exp_dir)):
+            tdir = os.path.join(exp_dir, name)
+            if os.path.isdir(tdir) and os.path.exists(
+                    os.path.join(tdir, "error.txt")):
+                trials.append((name, sample_config(space, rng)))
+        printer(f"rerun_failed: re-running {len(trials)} errored trials")
+    else:
+        for i in range(exp.n_trials):
+            trials.append((generate_trial_id(i, id_rng),
+                           sample_config(space, rng)))
+
+    devices = jax.devices()
+    n_parallel = min(max(exp.n_parallel, 1), max(len(devices), 1))
+
+    results = []
+    lock = threading.Lock()
+
+    def launch(idx_trial):
+        trial_id, config = idx_trial
+        trial_dir = os.path.join(exp_dir, trial_id)
+        os.makedirs(trial_dir, exist_ok=True)
+        err_path = os.path.join(trial_dir, "error.txt")
+        if os.path.exists(err_path):
+            os.remove(err_path)
+        opts = dataclasses.replace(
+            base_opts, trial_dir=trial_dir,
+            trial_training_log=os.path.join(trial_dir, "training.log"),
+            epochs=exp.epochs, grace_period=exp.grace_period)
+        dev = None
+        if n_parallel > 1:
+            with lock:
+                dev = devices[len(results) % n_parallel]
+        out = _trial_worker(trial_id, config, opts, model_type,
+                            scheduler, device=dev)
+        with lock:
+            results.append(out)
+        write_progress_csv(trial_dir)
+        if out[2] is not None:
+            printer(f"Trial {trial_id} FAILED: {out[2]}")
+        else:
+            printer(f"Trial {trial_id} finished: loss="
+                    f"{out[1].get('loss'):.6g}")
+
+    if n_parallel <= 1:
+        for t in trials:
+            launch(t)
+    else:
+        threads = []
+        sem = threading.Semaphore(n_parallel)
+
+        def guarded(t):
+            with sem:
+                launch(t)
+
+        for t in trials:
+            th = threading.Thread(target=guarded, args=(t,))
+            th.start()
+            threads.append(th)
+        for th in threads:
+            th.join()
+
+    best = scan_experiment_best(exp_dir, metric="loss")
+    if best:
+        printer("Best checkpoints by validation loss:")
+        for path, loss in best[:10]:
+            printer(f"  {loss:.6g}  {path}")
+        with open(os.path.join(exp_dir, "best_models.txt"), "w") as fh:
+            for path, loss in best:
+                fh.write(f"{loss}\t{path}\n")
+    return best
