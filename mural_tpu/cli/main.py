@@ -333,5 +333,7 @@ def main(model_type: str, argv=None) -> int:
     if not getattr(args, "func", None):
         parser.print_help()
         return 1
+    from mural_tpu.utils.compile_cache import _enable_compilation_cache
+    _enable_compilation_cache()
     print(" ".join(sys.argv))
     return _DISPATCH[args.func](args, model_type)

@@ -26,6 +26,46 @@ def _is_dense_kernel(path, leaf):
     return leaf.ndim == 2 and path[-1].key == "kernel"
 
 
+def materialize_variables(template, seed: int = 0):
+    """Build {params, batch_stats} arrays directly from a shape template
+    (``jax.eval_shape`` of ``model.init``) with the reference's init
+    scheme -- zero compilation needed, unlike running ``model.init``:
+
+    - conv kernels: xavier_uniform; dense kernels: kaiming_normal
+      (ref ``weights_init``, nn_utils.py:14-35); biases zero
+    - embeddings: N(0, 1) (torch nn.Embedding default; the reference
+      never re-initialises ``emb_layer``)
+    - BatchNorm scale 1 / bias 0; running mean 0 / var 1
+    """
+    rng = np.random.default_rng(seed)
+    out = {}
+    for coll, tree in template.items():
+        flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+        leaves = []
+        for path, leaf in flat:
+            name = path[-1].key if hasattr(path[-1], "key") else \
+                str(path[-1])
+            shape, dtype = tuple(leaf.shape), leaf.dtype
+            if name in ("bias", "mean"):
+                arr = np.zeros(shape)
+            elif name in ("scale", "var"):
+                arr = np.ones(shape)
+            elif name == "embedding":
+                arr = rng.normal(0.0, 1.0, size=shape)
+            elif name == "kernel" and len(shape) == 3:
+                k, fin, fout = shape
+                a = math.sqrt(6.0 / (fin * k + fout * k))
+                arr = rng.uniform(-a, a, size=shape)
+            elif name == "kernel" and len(shape) == 2:
+                arr = rng.normal(0.0, math.sqrt(2.0 / shape[0]),
+                                 size=shape)
+            else:
+                raise ValueError(f"unknown param leaf {name}")
+            leaves.append(jnp.asarray(arr, dtype=dtype))
+        out[coll] = jax.tree_util.tree_unflatten(treedef, leaves)
+    return out
+
+
 def torch_style_init(params, seed: int = 0, emb_normal: bool = True):
     """Re-initialise a Flax param tree with the reference's scheme.
 

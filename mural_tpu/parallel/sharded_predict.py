@@ -43,15 +43,18 @@ def sharded_predict(model, params, batch_stats, ds, batch_size: int,
     batch_stats = jax.device_put(batch_stats, rep)
 
     parts = []
-    total_loss = 0.0
+    n_valids = []
+    loss_dev = jnp.zeros((), jnp.float32)
     batches = segment_pool_batches(ds, 1, eff_batch, shuffle=False,
                                    pad_final=True)
     for db in prefetch(batches, size=2, sharding=data_s):
         logits, loss = eval_step(params, batch_stats, db.y, db.cat,
                                  db.cont, db.distal, db.mask)
-        parts.append(np.asarray(logits[:db.n_valid]))
-        total_loss += float(loss)
-    n_class = parts[0].shape[1] if parts else 0
-    logits = (np.concatenate(parts) if parts
-              else np.zeros((0, n_class)))
+        parts.append(logits)
+        n_valids.append(db.n_valid)
+        loss_dev = loss_dev + loss
+    total_loss = float(loss_dev)
+    logits = (np.concatenate(
+        [np.asarray(lg)[:n] for lg, n in zip(parts, n_valids)])
+        if parts else np.zeros((0, 0)))
     return logits, total_loss

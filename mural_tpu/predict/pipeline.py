@@ -68,6 +68,8 @@ def build_model_from_config(config: Dict, n_cont: int, model_type: str):
 def run_predict(opts: PredictOptions, model_type: str = "snv",
                 printer=print) -> "pd.DataFrame":
     import pandas as pd
+    from mural_tpu.utils.compile_cache import _enable_compilation_cache
+    _enable_compilation_cache()
     start_time = time.time()
 
     config = load_config(opts.model_config_path)
@@ -99,6 +101,10 @@ def run_predict(opts: PredictOptions, model_type: str = "snv",
     restored = load_checkpoint(opts.model_path, {
         "params": template["params"],
         "batch_stats": template.get("batch_stats", {})})
+    # restored leaves are host numpy; pin them on device ONCE -- otherwise
+    # every jitted call re-uploads ~300 small buffers, which is ruinous
+    # through a per-transfer-latency transport
+    restored = jax.device_put(restored, opts.device)
     params, batch_stats = restored["params"], restored["batch_stats"]
 
     prob_names = [f"prob{i}" for i in range(n_class)]
@@ -110,30 +116,37 @@ def run_predict(opts: PredictOptions, model_type: str = "snv",
             model, params, batch_stats, ds, opts.pred_batch_size,
             opts.n_devices)
     else:
+        import jax.numpy as jnp
         eval_step = make_eval_step(model)
         parts = []
-        total_loss = 0.0
+        n_valids = []
+        loss_dev = jnp.zeros((), jnp.float32)
         batches = segment_pool_batches(ds, 1, opts.pred_batch_size,
                                        shuffle=False, pad_final=True)
         t_fetch = t_pred = 0.0
         t0 = time.time()
         count = 0
+        # async dispatch: no per-batch host sync; losses accumulate on
+        # device and logits transfer after the pipeline drains
         for db in prefetch(batches, size=2, device=opts.device):
             t_fetch += time.time() - t0
             t1 = time.time()
             lg, loss = eval_step(params, batch_stats, db.y, db.cat,
                                  db.cont, db.distal, db.mask)
-            parts.append(np.asarray(lg[:db.n_valid]))
-            total_loss += float(loss)
+            parts.append(lg)
+            n_valids.append(db.n_valid)
+            loss_dev = loss_dev + loss
             t_pred += time.time() - t1
             count += 1
             if opts.pred_time_view and count % 500 == 0:
                 printer(f"batch {count}: fetch {t_fetch:.1f}s "
-                        f"predict {t_pred:.1f}s (last 500)")
+                        f"predict {t_pred:.1f}s (last 500, async)")
                 t_fetch = t_pred = 0.0
             t0 = time.time()
-        logits = (np.concatenate(parts) if parts
-                  else np.zeros((0, n_class)))
+        total_loss = float(loss_dev)
+        logits = (np.concatenate(
+            [np.asarray(lg)[:n] for lg, n in zip(parts, n_valids)])
+            if parts else np.zeros((0, n_class)))
 
     e = np.exp(logits - logits.max(axis=1, keepdims=True))
     probs = e / e.sum(axis=1, keepdims=True)

@@ -93,15 +93,28 @@ def split_segments_like_torch(n_segments: int, valid_ratio: float,
     return train_ids, valid_ids
 
 
-def _init_variables(model, ds: SiteDataset, rng_seed: int):
-    """Initialise Flax variables with a tiny representative batch."""
-    from mural_tpu.models.layers import one_hot_from_codes
-    cat = jnp.zeros((2, ds.cat.shape[1]), jnp.int32)
-    cont = (jnp.zeros((2, ds.n_cont), jnp.float32)
+def _variable_shapes(model, ds: SiteDataset):
+    """Shape/dtype template of the model variables via ``jax.eval_shape``
+    -- no computation is compiled or executed."""
+    cat = jax.ShapeDtypeStruct((2, ds.cat.shape[1]), jnp.int32)
+    cont = (jax.ShapeDtypeStruct((2, ds.n_cont), jnp.float32)
             if ds.n_cont else None)
-    distal = one_hot_from_codes(
-        jnp.zeros((2, ds.distal_width), jnp.uint8))
-    return model.init(jax.random.key(rng_seed), cat, cont, distal, False)
+    distal = jax.ShapeDtypeStruct((2, ds.distal_width, 4), jnp.float32)
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    return jax.eval_shape(
+        lambda k, c, co, d: model.init(k, c, co, d, False),
+        key, cat, cont, distal)
+
+
+def _init_variables(model, ds: SiteDataset, rng_seed: int):
+    """Materialised initial variables (reference init scheme), built from
+    shapes only -- avoids compiling the init program, which costs tens of
+    seconds per process through a remote-compile service."""
+    from mural_tpu.models.init import materialize_variables
+    template = _variable_shapes(model, ds)
+    return materialize_variables(
+        {"params": template["params"],
+         "batch_stats": template.get("batch_stats", {})}, rng_seed)
 
 
 def _transfer_mask(params, model_type: str, train_all: bool):
@@ -153,6 +166,8 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     reference's ``tune.report`` / EarlyStopping fork, training.py:534-550);
     returning False stops the trial (ASHA early termination).
     """
+    from mural_tpu.utils.compile_cache import _enable_compilation_cache
+    _enable_compilation_cache()
     printer = get_printer(opts.distributed, opts.trial_training_log)
     t_start = time.time()
 
@@ -231,7 +246,8 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     if config.get("transfer_learning"):
         template = {"params": variables["params"],
                     "batch_stats": variables.get("batch_stats", {})}
-        restored = load_checkpoint(opts.model_path, template)
+        restored = jax.device_put(
+            load_checkpoint(opts.model_path, template), opts.device)
         variables = dict(variables)
         variables["params"] = restored["params"]
         variables["batch_stats"] = restored["batch_stats"]
@@ -245,9 +261,9 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             variables["params"] = _reinit_final_fcs(variables["params"],
                                                     opts.rng_seed)
     else:
-        variables = dict(variables)
-        variables["params"] = torch_style_init(variables["params"],
-                                               seed=opts.rng_seed)
+        # _init_variables already materialised the reference's init
+        # scheme (materialize_variables); pin on device once
+        variables = jax.device_put(dict(variables), opts.device)
 
     total_params = sum(int(np.prod(np.shape(p)))
                       for p in jax.tree.leaves(variables["params"]))
@@ -281,7 +297,10 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
 
     for epoch in range(opts.epochs):
         epoch_t = time.time()
-        total_loss = 0.0
+        # device-side loss accumulator: keeping the scalar on device avoids
+        # a host sync per step (each sync costs a full round trip through
+        # the TPU transport and dominated the epoch time)
+        total_loss_dev = jnp.zeros((), jnp.float32)
         batch_count = 0
         fetch_t = 0.0
         train_t = 0.0
@@ -296,30 +315,35 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             t1 = time.time()
             state, loss, lr = train_step(state, db.y, db.cat, db.cont,
                                          db.distal, db.mask, base_rng)
-            total_loss += float(loss)
+            total_loss_dev = total_loss_dev + loss
             train_t += time.time() - t1
             if batch_count % 1000 == 0:
                 printer(f"Batch {batch_count}: fetch {fetch_t:.1f}s, "
-                        f"train {train_t:.1f}s (last 1000)")
+                        f"train {train_t:.1f}s (last 1000, async)")
                 fetch_t = train_t = 0.0
             t0 = time.time()
 
+        total_loss = float(total_loss_dev)
         printer("optimizer learning rate:", float(state.lr()))
 
-        # ---- validation ----------------------------------------------
-        logits_parts: List[np.ndarray] = []
-        valid_total_loss = 0.0
+        # ---- validation (async: device arrays collected, one sync) ---
+        logits_parts: List = []
+        vloss_dev = jnp.zeros((), jnp.float32)
         vbatches = segment_pool_batches(
             ds_valid, config["sampled_segments"], config["batch_size"],
             shuffle=False, pad_final=True)
+        n_valids = []
         for db in prefetch(vbatches, size=2, device=opts.device):
             logits, vloss = eval_step(state.params, state.batch_stats,
                                       db.y, db.cat, db.cont, db.distal,
                                       db.mask)
-            valid_total_loss += float(vloss)
-            logits_parts.append(np.asarray(logits[:db.n_valid]))
-        valid_logits = (np.concatenate(logits_parts) if logits_parts
-                        else np.zeros((0, opts.n_class)))
+            vloss_dev = vloss_dev + vloss
+            logits_parts.append(logits)
+            n_valids.append(db.n_valid)
+        valid_total_loss = float(vloss_dev)
+        valid_logits = (np.concatenate(
+            [np.asarray(lg)[:n] for lg, n in zip(logits_parts, n_valids)])
+            if logits_parts else np.zeros((0, opts.n_class)))
         e = np.exp(valid_logits - valid_logits.max(axis=1, keepdims=True))
         valid_probs = e / e.sum(axis=1, keepdims=True)
 
