@@ -307,6 +307,42 @@ def add_predict_parser(subparsers, model_type: str):
     return p
 
 
+def add_predict_genome_parser(subparsers, model_type: str):
+    p = subparsers.add_parser(
+        "predict_genome",
+        help="Genome-wide rate map without a BED (TPU extension): "
+             "predicts every focal-base position, streaming output",
+        formatter_class=argparse.RawTextHelpFormatter)
+    req = p.add_argument_group("Required arguments")
+    req.add_argument("--ref_genome", type=str, metavar="FILE",
+                     required=True, help="Reference genome FASTA.")
+    req.add_argument("--model_path", type=str, metavar="FILE",
+                     required=True, help="Trained checkpoint file.")
+    req.add_argument("--model_config_path", type=str, metavar="FILE",
+                     required=True, help="Pickled model config.")
+    opt = p.add_argument_group("Optional arguments")
+    opt.add_argument("--pred_file", type=str, metavar="FILE",
+                     default="genome_pred.tsv.gz",
+                     help="Output TSV. Default: genome_pred.tsv.gz.")
+    opt.add_argument("--calibrator_path", type=str, metavar="FILE",
+                     default="", help="Pickled calibrator.")
+    opt.add_argument("--poisson_calib", default=False,
+                     action="store_true",
+                     help="Poisson-based probability calibration.")
+    opt.add_argument("--focal_base", type=str, default="A",
+                     choices=["A", "C", "G", "T"],
+                     help="The model's focal base; '+' sites carry it, "
+                          "'-' sites its complement. Default: A.")
+    opt.add_argument("--chroms", type=str, nargs="+", default=None,
+                     help="Restrict to these chromosomes.")
+    opt.add_argument("--pred_batch_size", type=int, metavar="INT",
+                     default=2048, help="Batch size. Default: 2048.")
+    opt.add_argument("--n_devices", type=int, metavar="INT", default=1,
+                     help="Shard over this many TPU devices.")
+    p.set_defaults(func="predict_genome")
+    return p
+
+
 def add_evaluate_parser(subparsers, model_type: str):
     p = subparsers.add_parser(
         "evaluate", help="Evaluate obs/pred correlations of predictions",

@@ -29,6 +29,7 @@ def create_parser(model_type: str) -> argparse.ArgumentParser:
     C.add_train_parser(sub, model_type)
     C.add_transfer_parser(sub, model_type)
     C.add_predict_parser(sub, model_type)
+    C.add_predict_genome_parser(sub, model_type)
     C.add_evaluate_parser(sub, model_type)
     C.add_scale_parser(sub, model_type)
     C.add_calc_scaling_factor_parser(sub, model_type)
@@ -249,6 +250,25 @@ def cmd_predict(args, model_type: str) -> int:
     return 0
 
 
+def cmd_predict_genome(args, model_type: str) -> int:
+    from mural_tpu.predict.genome_wide import (GenomePredictOptions,
+                                               run_genome_predict)
+    opts = GenomePredictOptions(
+        ref_genome=_abspath(args.ref_genome),
+        model_path=_abspath(args.model_path),
+        model_config_path=_abspath(args.model_config_path),
+        pred_file=args.pred_file,
+        calibrator_path=_abspath(args.calibrator_path),
+        poisson_calib=args.poisson_calib,
+        focal_base=args.focal_base,
+        chroms=args.chroms,
+        batch_size=args.pred_batch_size,
+        n_devices=args.n_devices,
+    )
+    run_genome_predict(opts, model_type)
+    return 0
+
+
 def cmd_evaluate(args, model_type: str) -> int:
     from mural_tpu.evaluation.corr_files import (run_kmer_corr,
                                                  run_motif_corr,
@@ -320,6 +340,7 @@ _DISPATCH = {
     "train": cmd_train,
     "transfer": cmd_transfer,
     "predict": cmd_predict,
+    "predict_genome": cmd_predict_genome,
     "evaluate": cmd_evaluate,
     "scale": cmd_scale,
     "calc_scaling_factor": cmd_calc_scaling_factor,

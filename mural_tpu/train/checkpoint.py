@@ -55,6 +55,32 @@ def load_config(config_path: str) -> Dict:
         return pickle.load(fh)
 
 
+_DIRICHLETCAL_MAP = {
+    ("dirichletcal.calib.fulldirichlet", "FullDirichletCalibrator"):
+        ("mural_tpu.calibrate.dirichlet", "FullDirichletCalibrator"),
+    ("dirichletcal.calib.tempscaling", "TemperatureScaling"):
+        ("mural_tpu.calibrate.dirichlet", "TemperatureScaling"),
+    ("dirichletcal.calib.vectorscaling", "VectorScaling"):
+        ("mural_tpu.calibrate.dirichlet", "VectorScaling"),
+    ("dirichletcal.calib.multinomial", "MultinomialRegression"):
+        ("mural_tpu.calibrate.multinomial", "MultinomialRegression"),
+}
+
+
+class _CalibratorUnpickler(pickle.Unpickler):
+    """Loads calibrator pickles written by the reference's vendored
+    ``dirichletcal`` package by remapping its classes onto ours (the
+    attribute layouts are compatible: ``calibrator_`` holding
+    ``weights_``/``classes``)."""
+
+    def find_class(self, module, name):
+        key = (module, name)
+        if key in _DIRICHLETCAL_MAP:
+            module, name = _DIRICHLETCAL_MAP[key]
+        import importlib
+        return getattr(importlib.import_module(module), name)
+
+
 def load_calibrator(path: str):
     with open(path, "rb") as fh:
-        return pickle.load(fh)
+        return _CalibratorUnpickler(fh).load()
