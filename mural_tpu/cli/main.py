@@ -153,6 +153,8 @@ def _base_train_opts(args, model_type: str):
         save_valid_preds=args.save_valid_preds,
         poisson_calib=args.poisson_calib,
         grace_period=args.grace_period,
+        with_h5=getattr(args, "with_h5", False),
+        h5f_path=getattr(args, "h5f_path", None),
     )
 
 

@@ -160,6 +160,15 @@ class Evaluator:
     def evaluate_kmer(self, kmer_list=(3, 5, 7)) -> dict:
         out = {}
         for k in kmer_list:
+            missing = [c for c in _kmer_columns(k)
+                       if c not in self.data_and_prob.columns]
+            if missing:
+                # the reference crashes here when local_radius < k//2;
+                # we skip the k-mer size with a warning instead
+                self.printer(f"Warning: skipping {k}-mer correlation "
+                             f"(local_radius too small; missing columns "
+                             f"{missing})")
+                continue
             corr = freq_kmer_comp_multi(self.data_and_prob, k, self.n_class)
             out[k] = corr
             self.printer(f"{k}{self._KMER_ID[self.calibra]}", corr)
@@ -191,6 +200,11 @@ class Evaluator:
 
     def evaluate_regional_score(self, valid_size: int,
                                 kmer_list=(3, 5)) -> float:
+        kmer_list = [k for k in kmer_list
+                     if all(c in self.data_and_prob.columns
+                            for c in _kmer_columns(k))]
+        while len(kmer_list) < 2:
+            kmer_list.append(kmer_list[-1] if kmer_list else 1)
         if valid_size > 10000 * 10:
             region_size = 10000
         else:

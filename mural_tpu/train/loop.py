@@ -61,6 +61,8 @@ class TrainOptions:
     split_seed: Optional[int] = None
     save_valid_preds: bool = False
     poisson_calib: bool = False
+    with_h5: bool = False              # use the on-disk site cache
+    h5f_path: Optional[str] = None
     grace_period: int = 5
     trial_dir: str = "."
     trial_training_log: Optional[str] = None
@@ -186,13 +188,22 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     # --- datasets ------------------------------------------------------
     genome = Genome.from_fasta(opts.ref_genome)
     step_t = time.time()
-    ds = prepare_dataset(
-        opts.train_data, genome, central_bp=config["segment_center"],
-        local_radius=config["local_radius"],
-        local_order=config["local_order"],
-        distal_radius=config["distal_radius"],
-        distal_order=opts.distal_order, model_type=model_type,
-        tracks=tracks, seq_only=opts.seq_only)
+    if opts.with_h5:
+        from mural_tpu.data.cache import prepare_dataset_cached
+        ds = prepare_dataset_cached(
+            opts.train_data, genome, config["segment_center"],
+            config["local_radius"], config["local_order"],
+            config["distal_radius"], model_type,
+            cache_dir=opts.h5f_path, tracks=tracks,
+            seq_only=opts.seq_only, printer=printer)
+    else:
+        ds = prepare_dataset(
+            opts.train_data, genome, central_bp=config["segment_center"],
+            local_radius=config["local_radius"],
+            local_order=config["local_order"],
+            distal_radius=config["distal_radius"],
+            distal_order=opts.distal_order, model_type=model_type,
+            tracks=tracks, seq_only=opts.seq_only)
     printer("training set preprocess used time:", time.time() - step_t)
 
     if opts.validation_data:

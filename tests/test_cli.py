@@ -13,9 +13,9 @@ def test_subcommands_present():
         parser = create_parser(mt)
         subs = next(a for a in parser._actions
                     if a.dest == "command").choices
-        assert set(subs) == {"train", "transfer", "predict", "evaluate",
-                             "scale", "calc_scaling_factor",
-                             "get_best_model"}
+        assert set(subs) == {"train", "transfer", "predict",
+                             "predict_genome", "evaluate", "scale",
+                             "calc_scaling_factor", "get_best_model"}
 
 
 def test_train_parser_defaults_snv():

@@ -1,0 +1,145 @@
+"""ASHA scheduler, search-space sampling, trial runner, dataset cache,
+and extra calibrators."""
+import os
+
+import numpy as np
+import pytest
+
+from mural_tpu.tune.asha import ASHAScheduler
+from mural_tpu.tune.space import (Choice, LogUniform, SampleFrom,
+                                  loguniform_or_choice, sample_config)
+
+
+def test_sample_config():
+    space = {
+        "a": Choice([1, 2, 3]),
+        "lr": LogUniform(1e-4, 1e-2),
+        "h2": SampleFrom(lambda c: c["a"] * 10),
+        "fixed": "x",
+    }
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        c = sample_config(space, rng)
+        assert c["a"] in (1, 2, 3)
+        assert 1e-4 <= c["lr"] <= 1e-2
+        assert c["h2"] == c["a"] * 10
+        assert c["fixed"] == "x"
+    assert loguniform_or_choice([0.1]) == 0.1
+    assert isinstance(loguniform_or_choice([1e-4, 1e-2]), LogUniform)
+
+
+def test_asha_promotion():
+    # grace 2, rf 2, max 8 -> rungs at 2, 4
+    s = ASHAScheduler(metric="loss", max_t=8, grace_period=2,
+                      reduction_factor=2)
+    assert s.rungs == [2, 4]
+    # trial A reports loss 1.0 at rung 2: only result -> continues
+    assert s.on_report("A", 2, {"loss": 1.0})
+    # trial B with a better loss continues; A's 1.0 becomes the cutoff
+    assert s.on_report("B", 2, {"loss": 0.5})
+    # trial C worse than the median-ish cutoff -> stopped
+    assert not s.on_report("C", 2, {"loss": 2.0})
+    # non-rung iterations never stop
+    assert s.on_report("D", 3, {"loss": 100.0})
+
+
+def test_run_experiment_end_to_end(tiny_genome, tiny_bed, tmp_path):
+    from mural_tpu.train.loop import TrainOptions
+    from mural_tpu.tune.runner import ExperimentOptions, run_experiment
+
+    space = dict(
+        local_radius=Choice([2, 3]), local_order=1, local_dropout=0.0,
+        distal_fc_dropout=0.0, emb_dropout=0.0,
+        local_hidden1_size=Choice([8, 16]), local_hidden2_size=4,
+        distal_radius=105, segment_center=5000, sampled_segments=4,
+        batch_size=32, optim="Adam",
+        learning_rate=LogUniform(1e-3, 1e-2), lr_scheduler="StepLR",
+        LR_gamma=0.9, weight_decay=0.0, weight_decay_auto=None,
+        restart_lr=1e-4, min_lr=1e-6, CNN_kernel_size=3,
+        CNN_out_channels=4, transfer_learning=False)
+    opts = TrainOptions(train_data=tiny_bed,
+                        ref_genome=tiny_genome["path"], n_class=4,
+                        model_no=2, valid_ratio=0.25, split_seed=1)
+    exp = ExperimentOptions(experiment_name="exp1",
+                            results_dir=str(tmp_path), n_trials=2,
+                            epochs=1, grace_period=2,
+                            use_scheduler=True, seed=5)
+    best = run_experiment(space, opts, "snv", exp,
+                          printer=lambda *a: None)
+    assert len(best) == 2
+    assert all(os.path.exists(p) for p, _ in best)
+    assert os.path.exists(tmp_path / "exp1" / "best_models.txt")
+    # progress.csv written for each trial
+    for trial in os.listdir(tmp_path / "exp1"):
+        if trial.startswith("Train_"):
+            assert os.path.exists(tmp_path / "exp1" / trial /
+                                  "progress.csv")
+
+
+def test_dataset_cache_roundtrip(tiny_genome, tiny_bed, tmp_path):
+    from mural_tpu.data.cache import (cache_path, is_cache_fresh,
+                                      prepare_dataset_cached)
+    from mural_tpu.data.dataset import prepare_dataset
+
+    kwargs = dict(central_bp=5000, local_radius=3, local_order=2,
+                  distal_radius=30, model_type="snv")
+    ds0 = prepare_dataset(tiny_bed, tiny_genome["path"], **kwargs)
+    ds1 = prepare_dataset_cached(tiny_bed, tiny_genome["path"],
+                                 5000, 3, 2, 30, "snv",
+                                 cache_dir=str(tmp_path),
+                                 printer=lambda *a: None)
+    path = cache_path(tiny_bed, 5000, 3, 2, 30, "snv", str(tmp_path))
+    assert os.path.exists(path)
+    assert is_cache_fresh(path, tiny_bed)
+    ds2 = prepare_dataset_cached(tiny_bed, tiny_genome["path"],
+                                 5000, 3, 2, 30, "snv",
+                                 cache_dir=str(tmp_path),
+                                 printer=lambda *a: None)
+    for a, b in [(ds0, ds1), (ds1, ds2)]:
+        assert np.array_equal(a.cat, b.cat)
+        assert np.array_equal(a.y, b.y)
+        assert np.array_equal(a.seg_offsets, b.seg_offsets)
+        assert np.array_equal(a.local1, b.local1)
+    # distal gathers agree (cache stores no distal data)
+    rows = np.arange(min(20, ds0.n_sites))
+    assert np.array_equal(ds0.gather_distal(rows), ds2.gather_distal(rows))
+
+
+def test_extra_calibrators():
+    from mural_tpu.calibrate.extra import (DiagDirichlet,
+                                           DirichletCalibrator,
+                                           FixedDiagDirichlet,
+                                           MatrixScaling)
+    from mural_tpu.calibrate.metrics import nll_from_probs
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(800, 3)) * 2
+    e = np.exp(logits - logits.max(1, keepdims=True))
+    true_probs = e / e.sum(1, keepdims=True)
+    y = np.array([rng.choice(3, p=p) for p in true_probs])
+    probs = e ** 0.4 / (e ** 0.4).sum(1, keepdims=True)  # under-confident
+
+    for cal in (DiagDirichlet(), FixedDiagDirichlet(),
+                DirichletCalibrator("full"),
+                DirichletCalibrator("diagonal"),
+                DirichletCalibrator("fixed_diagonal")):
+        cal.fit(probs, y)
+        out = cal.predict_proba(probs)
+        assert np.allclose(out.sum(1), 1, atol=1e-8)
+        assert nll_from_probs(out, y) <= nll_from_probs(probs, y) + 1e-9
+
+    ms = MatrixScaling().fit(logits * 0.4, y)
+    out = ms.predict_proba(logits * 0.4)
+    assert np.allclose(out.sum(1), 1, atol=1e-8)
+
+
+def test_device_utils():
+    from mural_tpu.utils.device import (check_device_id,
+                                        get_available_device,
+                                        list_devices)
+    devs = list_devices()
+    assert len(devs) >= 1
+    d = get_available_device(0.0)
+    assert d is not None
+    assert check_device_id(0) is devs[0]
+    with pytest.raises(ValueError):
+        check_device_id(len(devs))
