@@ -1,0 +1,96 @@
+"""End-to-end training parity: with identical weights, batches, Adam
+hyperparameters and no dropout, our jitted train step must track a torch
+training loop step-for-step (loss and parameters), validating the whole
+compute path: one-hot, model forward, CE-sum loss, grad, clip, optimizer.
+
+This is the executable form of BASELINE.md's "within 1e-3 validation
+loss of the PyTorch reference" target.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mural_tpu.genome.encode import ONE_HOT_TABLE
+from mural_tpu.models.snv import SNVNet2
+from mural_tpu.train.optim import LRSchedule
+from mural_tpu.train.state import create_train_state
+from mural_tpu.train.steps import make_eval_step, make_train_step
+
+torch = pytest.importorskip("torch")
+from tests.test_torch_parity import TorchSNVNet2, copy_flax_to_torch
+
+
+def test_train_step_trajectory_matches_torch():
+    rng = np.random.default_rng(42)
+    B, K, Lw, C, n_class = 32, 13, 401, 8, 4
+    n_steps = 12
+    lr, wd = 1e-3, 0.0
+
+    model = SNVNet2(emb_vocab=65, n_cat=K, lin_layer_sizes=[48, 24],
+                    emb_dropout=0.0, lin_layer_dropouts=[0.0, 0.0],
+                    in_channels=4, out_channels=C, kernel_size=3,
+                    distal_fc_dropout=0.0, n_class=n_class)
+
+    batches = []
+    for _ in range(n_steps):
+        cat = rng.integers(0, 65, size=(B, K)).astype(np.int32)
+        codes = rng.integers(0, 4, size=(B, Lw)).astype(np.uint8)
+        y = rng.integers(0, n_class, size=B).astype(np.int32)
+        batches.append((y, cat, codes))
+
+    # ---- flax side --------------------------------------------------
+    cat0, _, codes0 = batches[0][1], None, batches[0][2]
+    variables = model.init(jax.random.key(0), jnp.asarray(cat0), None,
+                           jnp.asarray(ONE_HOT_TABLE[codes0]), False)
+    sched = LRSchedule.build("constant", lr, 0.9, B, 10_000, 1e-4, 1e-6)
+    state = create_train_state(model, variables, "Adam", wd, sched)
+    train_step = make_train_step(model, donate=False)
+    base_rng = jax.random.key(1)
+
+    # ---- torch side (identical weights) -----------------------------
+    tmodel = TorchSNVNet2(65, K, [48, 24], 4, C, 3, n_class)
+    copy_flax_to_torch(variables, tmodel)
+    topt = torch.optim.Adam(tmodel.parameters(), lr=lr, weight_decay=wd)
+    crit = torch.nn.CrossEntropyLoss(reduction="sum")
+    tmodel.train()
+
+    flax_losses, torch_losses = [], []
+    for y, cat, codes in batches:
+        state, loss, _ = train_step(
+            state, jnp.asarray(y), jnp.asarray(cat), None,
+            jnp.asarray(codes), jnp.ones(B, jnp.float32), base_rng)
+        flax_losses.append(float(loss))
+
+        topt.zero_grad()
+        distal = torch.from_numpy(
+            ONE_HOT_TABLE[codes].transpose(0, 2, 1).copy())
+        out = tmodel(torch.from_numpy(cat.astype(np.int64)), distal)
+        tl = crit(out, torch.from_numpy(y.astype(np.int64)))
+        tl.backward()
+        torch.nn.utils.clip_grad_norm_(tmodel.parameters(), max_norm=10)
+        topt.step()
+        torch_losses.append(float(tl))
+
+    flax_losses = np.asarray(flax_losses)
+    torch_losses = np.asarray(torch_losses)
+    # identical trajectories to float32 accumulation tolerance
+    assert np.allclose(flax_losses, torch_losses,
+                       rtol=2e-4), (flax_losses, torch_losses)
+    # and losses actually moved (training happened)
+    assert flax_losses[-1] != flax_losses[0]
+
+    # final eval-mode outputs agree (params AND batch stats in sync)
+    eval_step = make_eval_step(model)
+    y, cat, codes = batches[0]
+    logits, _ = eval_step(state.params, state.batch_stats,
+                          jnp.asarray(y), jnp.asarray(cat), None,
+                          jnp.asarray(codes), jnp.ones(B, jnp.float32))
+    tmodel.eval()
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(cat.astype(np.int64)),
+                     torch.from_numpy(
+                         ONE_HOT_TABLE[codes].transpose(0, 2, 1).copy())
+                     ).numpy()
+    assert np.allclose(np.asarray(logits), ref, atol=5e-3), \
+        np.abs(np.asarray(logits) - ref).max()
