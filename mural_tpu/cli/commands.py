@@ -99,6 +99,13 @@ def _scheduler_args(p, default_experiment):
     g.add_argument("--n_parallel", type=int, metavar="INT", default=1,
                    help="Trials run concurrently, one per TPU device. "
                         "Default: 1.")
+    g.add_argument("--dp_devices", type=int, metavar="INT", default=1,
+                   help="Data-parallel training over this many TPU "
+                        "devices (batch sharded, grads all-reduced). "
+                        "Default: 1.")
+    g.add_argument("--profile_dir", type=str, metavar="DIR", default=None,
+                   help="Capture a JAX profiler trace of the first epoch "
+                        "into this directory.")
     g.add_argument("--rerun_failed", default=False, action="store_true",
                    help="Re-run errored trials of a previous experiment.")
     return g

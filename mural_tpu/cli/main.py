@@ -155,6 +155,8 @@ def _base_train_opts(args, model_type: str):
         grace_period=args.grace_period,
         with_h5=getattr(args, "with_h5", False),
         h5f_path=getattr(args, "h5f_path", None),
+        dp_devices=getattr(args, "dp_devices", 1),
+        profile_dir=getattr(args, "profile_dir", None),
     )
 
 

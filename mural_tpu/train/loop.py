@@ -74,6 +74,8 @@ class TrainOptions:
     # misc
     rng_seed: int = 0
     device=None
+    dp_devices: int = 1                # data-parallel mesh size
+    profile_dir: Optional[str] = None  # capture a jax profiler trace
 
 
 def split_segments_like_torch(n_segments: int, valid_ratio: float,
@@ -297,6 +299,23 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     eval_step = make_eval_step(model)
     base_rng = jax.random.key(opts.rng_seed)
 
+    # -- data-parallel mesh (extension over the single-device reference,
+    # SURVEY.md 2.3): params replicate, batches shard on the 'data' axis,
+    # XLA derives the gradient all-reduce over ICI from the shardings.
+    batch_sharding_ = None
+    if opts.dp_devices > 1:
+        from mural_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                             replicated)
+        mesh = make_mesh(opts.dp_devices)
+        batch_sharding_ = batch_sharding(mesh)
+        state = jax.device_put(state, replicated(mesh))
+        base_rng = jax.device_put(base_rng, replicated(mesh))
+        if config["batch_size"] % opts.dp_devices:
+            raise ValueError(
+                f"batch_size {config['batch_size']} must be divisible "
+                f"by dp_devices {opts.dp_devices}")
+        printer(f"data-parallel training over {opts.dp_devices} devices")
+
     prob_names = [f"prob{i}" for i in range(opts.n_class)]
     data_local_valid = ds_valid.local_frame()
 
@@ -320,7 +339,11 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
         batches = segment_pool_batches(
             ds_train, config["sampled_segments"], config["batch_size"],
             shuffle=True, rng=host_rng)
-        for db in prefetch(batches, size=2, device=opts.device):
+        profiling = (opts.profile_dir is not None and epoch == 0)
+        if profiling:
+            jax.profiler.start_trace(opts.profile_dir)
+        for db in prefetch(batches, size=2, device=opts.device,
+                           sharding=batch_sharding_):
             fetch_t += time.time() - t0
             batch_count += 1
             t1 = time.time()
@@ -334,6 +357,10 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
                 fetch_t = train_t = 0.0
             t0 = time.time()
 
+        if profiling:
+            jax.block_until_ready(total_loss_dev)
+            jax.profiler.stop_trace()
+            printer("profiler trace written to", opts.profile_dir)
         total_loss = float(total_loss_dev)
         printer("optimizer learning rate:", float(state.lr()))
 
@@ -344,7 +371,8 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             ds_valid, config["sampled_segments"], config["batch_size"],
             shuffle=False, pad_final=True)
         n_valids = []
-        for db in prefetch(vbatches, size=2, device=opts.device):
+        for db in prefetch(vbatches, size=2, device=opts.device,
+                           sharding=batch_sharding_):
             logits, vloss = eval_step(state.params, state.batch_stats,
                                       db.y, db.cat, db.cont, db.distal,
                                       db.mask)
