@@ -15,7 +15,7 @@ import json
 import time
 
 BASELINE_TRAIN_WINDOWS_PER_SEC = 1384.0   # torch CPU anchor, BASELINE.md
-BATCH = 512
+BATCH = 2048
 ITERS = 30
 
 
@@ -29,10 +29,20 @@ def main():
     from mural_tpu.train.state import create_train_state
     from mural_tpu.train.steps import make_train_step
 
+    from mural_tpu.models.init import materialize_variables
+    from mural_tpu.utils.compile_cache import _enable_compilation_cache
+    _enable_compilation_cache()
+
     model = _flagship()
     y, cat, codes, mask = _example_batch(batch=BATCH)
-    variables = model.init(jax.random.key(0), jnp.asarray(cat), None,
-                           one_hot_from_codes(jnp.asarray(codes)), False)
+    template = jax.eval_shape(
+        lambda k, c, d: model.init(k, c, None, d, False),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),
+        jax.ShapeDtypeStruct((2, 13), jnp.int32),
+        jax.ShapeDtypeStruct((2, 401, 4), jnp.float32))
+    variables = jax.device_put(materialize_variables(
+        {"params": template["params"],
+         "batch_stats": template["batch_stats"]}, 0))
     sched = LRSchedule.build("StepLR", 1e-3, 0.9, BATCH, 10_000_000,
                              1e-4, 1e-6)
     state = create_train_state(model, variables, "Adam", 1e-5, sched)
