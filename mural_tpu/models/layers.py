@@ -40,12 +40,24 @@ def one_hot_from_codes(codes: jnp.ndarray,
 
 def max_pool1d(x: jnp.ndarray, kernel: int, stride: int,
                padding: int) -> jnp.ndarray:
-    """torch.nn.MaxPool1d semantics on (N, L, C): -inf padding, floor len."""
+    """torch.nn.MaxPool1d semantics on (N, L, C): low padding, floor len.
+
+    Padding is applied by concatenating a large-finite filler instead of
+    reduce_window's -inf window padding: on TPU the max-pool VJP emits
+    NaN gradients when -inf padding participates in a window (observed
+    data-dependently at larger batch sizes).  A finite filler below any
+    real activation keeps forward semantics identical and the backward
+    routes gradients to the true argmax only.
+    """
+    if padding:
+        fill = jnp.full((x.shape[0], padding, x.shape[2]), -3.0e38,
+                        x.dtype)
+        x = jnp.concatenate([fill, x, fill], axis=1)
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max,
         window_dimensions=(1, kernel, 1),
         window_strides=(1, stride, 1),
-        padding=((0, 0), (padding, padding), (0, 0)),
+        padding=((0, 0), (0, 0), (0, 0)),
     )
 
 
