@@ -336,10 +336,13 @@ def add_predict_genome_parser(subparsers, model_type: str):
     opt.add_argument("--poisson_calib", default=False,
                      action="store_true",
                      help="Poisson-based probability calibration.")
-    opt.add_argument("--focal_base", type=str, default="A",
-                     choices=["A", "C", "G", "T"],
+    opt.add_argument("--focal_base", type=str,
+                     default="A" if model_type == "snv" else "all",
+                     choices=["A", "C", "G", "T", "all"],
                      help="The model's focal base; '+' sites carry it, "
-                          "'-' sites its complement. Default: A.")
+                          "'-' sites its complement. 'all' predicts "
+                          "every position on '+' (INDEL mode). "
+                          "Default: %(default)s.")
     opt.add_argument("--chroms", type=str, nargs="+", default=None,
                      help="Restrict to these chromosomes.")
     opt.add_argument("--pred_batch_size", type=int, metavar="INT",

@@ -52,8 +52,19 @@ def iter_focal_sites(genome: Genome, focal_base: str,
                      ) -> Iterator[tuple]:
     """Yield (chrom_name, positions int64 array, strand_neg bool array)
     chunks: '+' sites where the base == focal_base, '-' sites where it is
-    the complement (so the model always reads its focal base)."""
+    the complement (so the model always reads its focal base).
+
+    ``focal_base='all'`` emits every position on the '+' strand -- the
+    INDEL mode, where models are not focal-base specific (gaps can occur
+    anywhere)."""
     from mural_tpu.genome.fasta import encode_sequence
+    if focal_base == "all":
+        for chrom in (chroms or genome.names()):
+            n = len(genome[chrom])
+            for lo in range(0, n, chunk):
+                pos = np.arange(lo, min(lo + chunk, n), dtype=np.int64)
+                yield chrom, pos, np.zeros(len(pos), bool)
+        return
     fwd_code = encode_sequence(focal_base)[0]
     rev_code = COMPLEMENT[fwd_code]
     for chrom in (chroms or genome.names()):
