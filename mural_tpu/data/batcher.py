@@ -99,8 +99,3 @@ def segment_pool_batches(ds: SiteDataset, sampled_segments: int,
             # the reference drops size-1 remainders itself).
             pass
 
-
-def num_batches(n_sites: int, batch_size: int, pad_final: bool) -> int:
-    if pad_final:
-        return -(-n_sites // batch_size)
-    return n_sites // batch_size

@@ -15,7 +15,7 @@ Cited reference behaviours:
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -104,27 +104,6 @@ class TorchBatchNorm(nn.Module):
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
         inv = jax.lax.rsqrt(var + self.epsilon)
         return (x - mean) * inv * scale + bias
-
-
-def bn(name: str):
-    """Shorthand constructor used across the model files."""
-    return TorchBatchNorm(name=name)
-
-
-class Conv1d(nn.Module):
-    """torch.nn.Conv1d equivalent on (N, L, C_in) -> (N, L', C_out)."""
-    features: int
-    kernel_size: int
-    stride: int = 1
-    padding: int = 0
-    use_bias: bool = True
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.Conv(self.features, kernel_size=(self.kernel_size,),
-                       strides=(self.stride,),
-                       padding=[(self.padding, self.padding)],
-                       use_bias=self.use_bias, name="conv")(x)
 
 
 class BNConv(nn.Module):

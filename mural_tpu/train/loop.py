@@ -34,7 +34,6 @@ from mural_tpu.evaluation import Evaluator
 from mural_tpu.genome.bed import BedFile
 from mural_tpu.genome.fasta import Genome
 from mural_tpu.genome.tracks import TrackSet, read_track_list
-from mural_tpu.models.init import torch_style_init
 from mural_tpu.models.registry import build_model
 from mural_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from mural_tpu.train.early_stopping import EarlyStopping
