@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--n_test", type=int, default=50_000)
     ap.add_argument("--n_class", type=int, default=4)
     ap.add_argument("--focal_base", default="A")
+    ap.add_argument("--model_type", default="snv", choices=["snv", "indel"])
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -39,17 +40,25 @@ def main():
         for i in range(0, L, 80):
             fh.write(s[i:i + 80] + "\n")
 
-    focal = int(np.where(bases == args.focal_base)[0][0])
-    comp = 3 - focal
-    pos_fwd = np.nonzero(seq == focal)[0]
-    pos_rev = np.nonzero(seq == comp)[0]
-    pos = np.concatenate([pos_fwd, pos_rev])
-    strand = np.concatenate([np.zeros(len(pos_fwd), bool),
-                             np.ones(len(pos_rev), bool)])
-    order = np.argsort(pos)
-    pos, strand = pos[order], strand[order]
-    keep = (pos > 10) & (pos < L - 10)
-    pos, strand = pos[keep], strand[keep]
+    if args.model_type == "indel":
+        # INDEL sites have no focal-base constraint; sample positions
+        n_total = args.n_train * 2 + args.n_valid + args.n_test
+        pos = np.sort(rng.choice(
+            np.arange(10, L - 10), size=min(n_total, L - 20),
+            replace=False))
+        strand = rng.uniform(size=len(pos)) < 0.5
+    else:
+        focal = int(np.where(bases == args.focal_base)[0][0])
+        comp = 3 - focal
+        pos_fwd = np.nonzero(seq == focal)[0]
+        pos_rev = np.nonzero(seq == comp)[0]
+        pos = np.concatenate([pos_fwd, pos_rev])
+        strand = np.concatenate([np.zeros(len(pos_fwd), bool),
+                                 np.ones(len(pos_rev), bool)])
+        order = np.argsort(pos)
+        pos, strand = pos[order], strand[order]
+        keep = (pos > 10) & (pos < L - 10)
+        pos, strand = pos[keep], strand[keep]
 
     # context-dependent class probabilities via the flanking 3-mer
     up = np.where(strand, 3 - seq[pos + 1], seq[pos - 1])

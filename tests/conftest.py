@@ -17,6 +17,12 @@ import jax
 # virtual 8-device CPU platform.
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache: repeated suite runs skip CPU XLA compiles
+_cache = os.path.join(os.path.dirname(__file__), ".xla_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 import numpy as np
 import pytest
 
