@@ -51,8 +51,16 @@ def load_checkpoint(model_path: str, template: Dict) -> Dict:
 
 
 def load_config(config_path: str) -> Dict:
+    """Load a checkpoint config pickle, normalising pre-1.2 key names
+    used by some shipped reference checkpoints (``central_radius`` ->
+    ``segment_center``, ``batch_segment`` -> ``sampled_segments``)."""
     with open(config_path, "rb") as fh:
-        return pickle.load(fh)
+        config = pickle.load(fh)
+    if "segment_center" not in config and "central_radius" in config:
+        config["segment_center"] = config["central_radius"]
+    if "sampled_segments" not in config and "batch_segment" in config:
+        config["sampled_segments"] = config["batch_segment"]
+    return config
 
 
 _DIRICHLETCAL_MAP = {
@@ -77,8 +85,20 @@ class _CalibratorUnpickler(pickle.Unpickler):
         key = (module, name)
         if key in _DIRICHLETCAL_MAP:
             module, name = _DIRICHLETCAL_MAP[key]
+        if name == "_reconstruct_array" and module.startswith("jax"):
+            # old-jax pickled DeviceArrays (their aval state no longer
+            # unpickles); rebuild as plain numpy, which is all the
+            # calibrator math needs
+            return _rebuild_old_jax_array
         import importlib
         return getattr(importlib.import_module(module), name)
+
+
+def _rebuild_old_jax_array(fun, args, arr_state, aval_state):
+    import numpy as np
+    value = fun(*args)
+    value.__setstate__(arr_state)
+    return np.asarray(value)
 
 
 def load_calibrator(path: str):
