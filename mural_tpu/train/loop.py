@@ -320,6 +320,10 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
 
     es = EarlyStopping(patience=opts.grace_period, verbose=True,
                        trace_func=printer)
+    rop = None
+    if config.get("lr_scheduler") == "ROP":
+        from mural_tpu.train.optim import ReduceLROnPlateau
+        rop = ReduceLROnPlateau(config["learning_rate"])
     min_loss, min_loss_epoch, after_min_loss = 0.0, 0, 0
     metrics: Dict = {}
     host_rng = np.random.default_rng(opts.rng_seed)
@@ -461,11 +465,10 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             printer("Trial stopped by scheduler")
             break
 
-        # ROP epoch update (training.py:553-554): patience 1, thresh 1e-4
-        if config.get("lr_scheduler") == "ROP":
-            improved = current_loss < min_loss + 1e-4 and \
-                after_min_loss == 0
-            state = state.rop_plateau_update(after_min_loss < 2)
+        # ROP epoch update (training.py:553-554)
+        if rop is not None:
+            state = state.replace(
+                rop_lr=jnp.asarray(rop.step(current_loss), jnp.float32))
 
         state = state.next_epoch()
         printer(f"Epoch {epoch} used time: {time.time() - epoch_t:.1f}s")

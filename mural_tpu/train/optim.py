@@ -120,6 +120,40 @@ class LRSchedule:
         return lr.astype(jnp.float32)
 
 
+class ReduceLROnPlateau:
+    """torch.optim.lr_scheduler.ReduceLROnPlateau parity with the
+    reference's settings (training.py:372): mode='min', factor=0.2,
+    patience=1, threshold=1e-4 (rel mode), min_lr=1e-7; stepped once per
+    epoch with the validation loss (:553-554).
+
+    torch semantics replicated exactly: an epoch improves only if
+    ``metric < best * (1 - threshold)``; the bad-epoch counter resets
+    after every LR reduction, so patience=1 reduces at most every two
+    non-improving epochs."""
+
+    def __init__(self, init_lr: float, factor: float = 0.2,
+                 patience: int = 1, threshold: float = 1e-4,
+                 min_lr: float = 1e-7):
+        self.lr = float(init_lr)
+        self.factor = factor
+        self.patience = patience
+        self.threshold = threshold
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.num_bad_epochs = 0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best * (1 - self.threshold):
+            self.best = metric
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+            if self.num_bad_epochs > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.num_bad_epochs = 0
+        return self.lr
+
+
 def scale_by_amsgrad_torch(b1: float = 0.9, b2: float = 0.999,
                            eps: float = 1e-8) -> optax.GradientTransformation:
     """AMSGrad with torch's exact formulation.

@@ -34,13 +34,6 @@ class TrainState(struct.PyTreeNode):
     def next_epoch(self) -> "TrainState":
         return self.replace(epoch=self.epoch + 1)
 
-    def rop_plateau_update(self, improved: bool) -> "TrainState":
-        """ReduceLROnPlateau host-side step (factor 0.2, min_lr 1e-7;
-        training.py:371-373).  Caller implements patience/threshold."""
-        new_lr = self.rop_lr if improved else jnp.maximum(
-            self.rop_lr * 0.2, 1e-7)
-        return self.replace(rop_lr=new_lr)
-
 
 def create_train_state(model, variables, optim_name: str,
                        weight_decay: float, schedule: LRSchedule,

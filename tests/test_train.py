@@ -166,3 +166,22 @@ def test_early_stopping():
         es(loss)
     assert es.early_stop
     assert es.val_loss_min == 0.9
+
+
+def test_rop_matches_torch():
+    """ReduceLROnPlateau parity vs torch (rel threshold, patience reset)."""
+    from mural_tpu.train.optim import ReduceLROnPlateau
+    tsched_opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))],
+                                 lr=1e-2)
+    tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        tsched_opt, mode="min", factor=0.2, patience=1, threshold=1e-4,
+        min_lr=1e-7)
+    ours = ReduceLROnPlateau(1e-2)
+    # plateau, tiny sub-threshold improvements, then recovery
+    metrics = [1.0, 0.9, 0.9, 0.9, 0.9, 0.89999, 0.89998, 0.5, 0.5,
+               0.5, 0.5, 0.5]
+    for m in metrics:
+        tsched.step(m)
+        lr = ours.step(m)
+        assert lr == pytest.approx(tsched_opt.param_groups[0]["lr"],
+                                   rel=1e-9), (m, lr)
