@@ -1,0 +1,75 @@
+"""Trial packing across devices and mesh-sharded genome-wide predict."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+needs8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                            reason="needs 8 devices")
+
+
+@needs8
+def test_parallel_trials_across_devices(tiny_genome, tiny_bed, tmp_path):
+    from mural_tpu.train.loop import TrainOptions
+    from mural_tpu.tune.runner import ExperimentOptions, run_experiment
+    from mural_tpu.tune.space import Choice
+
+    space = dict(
+        local_radius=2, local_order=1, local_dropout=0.0,
+        distal_fc_dropout=0.0, emb_dropout=0.0,
+        local_hidden1_size=Choice([8, 16]), local_hidden2_size=4,
+        distal_radius=105, segment_center=5000, sampled_segments=4,
+        batch_size=32, optim="Adam", learning_rate=1e-3,
+        lr_scheduler="StepLR", LR_gamma=0.9, weight_decay=0.0,
+        weight_decay_auto=None, restart_lr=1e-4, min_lr=1e-6,
+        CNN_kernel_size=3, CNN_out_channels=4, transfer_learning=False)
+    opts = TrainOptions(train_data=tiny_bed,
+                        ref_genome=tiny_genome["path"], n_class=4,
+                        model_no=2, valid_ratio=0.25, split_seed=1)
+    exp = ExperimentOptions(experiment_name="par",
+                            results_dir=str(tmp_path), n_trials=2,
+                            epochs=1, n_parallel=2, seed=3)
+    best = run_experiment(space, opts, "snv", exp,
+                          printer=lambda *a: None)
+    assert len(best) == 2
+
+
+@needs8
+def test_genome_wide_sharded(tiny_genome, tiny_bed, tmp_path):
+    from mural_tpu.train.loop import TrainOptions, train_trial
+    from mural_tpu.predict.genome_wide import (GenomePredictOptions,
+                                               run_genome_predict)
+    import pandas as pd
+
+    config = dict(
+        local_radius=2, local_order=1, local_dropout=0.0,
+        distal_fc_dropout=0.0, emb_dropout=0.0,
+        local_hidden1_size=8, local_hidden2_size=4,
+        distal_radius=105, segment_center=5000, sampled_segments=4,
+        batch_size=32, optim="Adam", learning_rate=1e-3,
+        lr_scheduler="StepLR", LR_gamma=0.9, weight_decay=0.0,
+        weight_decay_auto=None, restart_lr=1e-4, min_lr=1e-6,
+        CNN_kernel_size=3, CNN_out_channels=4, transfer_learning=False)
+    opts = TrainOptions(train_data=tiny_bed,
+                        ref_genome=tiny_genome["path"], n_class=4,
+                        model_no=2, epochs=1, valid_ratio=0.25,
+                        split_seed=1, trial_dir=str(tmp_path / "t"))
+    train_trial(config, opts, "snv")
+    cdir = str(tmp_path / "t" / "checkpoint_0")
+
+    outs = {}
+    for n_dev in (1, 8):
+        out = str(tmp_path / f"gp{n_dev}.tsv")
+        gopts = GenomePredictOptions(
+            ref_genome=tiny_genome["path"],
+            model_path=os.path.join(cdir, "model"),
+            model_config_path=os.path.join(cdir, "model.config.pkl"),
+            pred_file=out, focal_base="A", chroms=["chrM"],
+            batch_size=64, flush_batches=2, n_devices=n_dev)
+        run_genome_predict(gopts, "snv", printer=lambda *a: None)
+        outs[n_dev] = pd.read_csv(out, sep="\t")
+    assert len(outs[1]) == len(outs[8])
+    p1 = outs[1][[f"prob{i}" for i in range(4)]].to_numpy()
+    p8 = outs[8][[f"prob{i}" for i in range(4)]].to_numpy()
+    assert np.allclose(p1, p8, atol=2e-4)
