@@ -22,13 +22,36 @@ from typing import Optional
 import numpy as np
 
 
+def _track_fingerprint(tracks, seq_only: bool) -> str:
+    """Continuous-feature configuration fingerprint: the cache must not
+    be shared across runs with different tracks or seq_only settings, and
+    must go stale when a track file changes (mirrors the reference's
+    bw-name-suffixed H5 names + mtime check, preprocessing.py:191-204,
+    322-346)."""
+    import hashlib
+    parts = [f"seq_only={bool(seq_only)}"]
+    if tracks is not None and len(tracks) > 0:
+        for name, radius, tr in zip(tracks.names, tracks.radii,
+                                    getattr(tracks, "files",
+                                            [None] * len(tracks.names))):
+            parts.append(f"{name}:{radius}:{tr}")
+        for f in getattr(tracks, "files", []):
+            try:
+                parts.append(str(os.lstat(f).st_mtime))
+            except OSError:
+                parts.append("?")
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()[:10]
+
+
 def cache_path(bed_file: str, central_bp: int, local_radius: int,
                local_order: int, distal_radius: int, model_type: str,
-               cache_dir: Optional[str] = None) -> str:
+               cache_dir: Optional[str] = None, tracks=None,
+               seq_only: bool = False) -> str:
     """Content-addressed cache name (ref ``get_h5f_path``:191-204)."""
     name = (f"{os.path.basename(bed_file)}.local_{local_radius}_"
             f"{local_order}.distal_{distal_radius}.segment_{central_bp}"
-            f".{model_type}.sites.h5")
+            f".{model_type}.{_track_fingerprint(tracks, seq_only)}"
+            f".sites.h5")
     base = cache_dir or os.path.dirname(os.path.abspath(bed_file))
     return os.path.join(base, name)
 
@@ -113,7 +136,8 @@ def prepare_dataset_cached(bed_file: str, genome, central_bp: int,
     if isinstance(genome, str):
         genome = Genome.from_fasta(genome)
     path = cache_path(bed_file, central_bp, local_radius, local_order,
-                      distal_radius, model_type, cache_dir)
+                      distal_radius, model_type, cache_dir,
+                      tracks=tracks, seq_only=seq_only)
     if is_cache_fresh(path, bed_file):
         printer("using cached site encodings:", path)
         return load_dataset_cache(path, genome, central_bp, local_radius,

@@ -50,26 +50,45 @@ def to_device(batch: Batch, device=None, sharding=None) -> DeviceBatch:
 
 def prefetch(batches: Iterator[Batch], size: int = 2, device=None,
              sharding=None) -> Iterator[DeviceBatch]:
-    """Wrap a host batch iterator with a device-put prefetch thread."""
+    """Wrap a host batch iterator with a device-put prefetch thread.
+
+    If the consumer abandons the generator (break / exception), the
+    worker is signalled to stop so it does not block forever on a full
+    queue holding device buffers."""
     q: "queue.Queue" = queue.Queue(maxsize=size)
     _SENTINEL = object()
     err: list = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for b in batches:
-                q.put(to_device(b, device=device, sharding=sharding))
+                if not _put(to_device(b, device=device,
+                                      sharding=sharding)):
+                    return
         except BaseException as e:  # surfaced in the consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()

@@ -1,13 +1,16 @@
 """File-level evaluation pipelines for the ``evaluate`` sub-command.
 
-Re-implements the reference's streaming scripts with vectorized per-
-chromosome processing over the uint8 genome codes:
+Re-implements the reference's streaming scripts with chunked, vectorized
+per-chromosome processing over the uint8 genome codes:
 
 - k-mer correlation      (MuRaL/scripts/calc_kmer_corr.py:194-271)
 - regional correlation   (calc_regional_corr.py:168-213)
 - motif correlation      (calc_motif_corr.py:191-260; the reference
   crashes on a namespace bug at :239 -- fixed here)
 
+Prediction TSVs stream in bounded-memory chunks (the inputs are
+genome-wide, up to billions of rows), accumulating obs counts / prob
+sums per k-mer or window exactly like the reference's line loops.
 Output file naming and column schemas match the reference:
 ``<prefix>.<k>-mer.mut_rates.tsv`` / ``.corr.txt``,
 ``<prefix>.<N>Kb.mut_rates.tsv`` / ``.corr.txt``,
@@ -16,24 +19,34 @@ Output file naming and column schemas match the reference:
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
 from mural_tpu.genome import encode as enc
 from mural_tpu.genome.fasta import COMPLEMENT, Genome, decode_sequence
 
+CHUNK_ROWS = 2_000_000
 
-def _read_pred(pred_file: str, n_class: int):
+
+def _iter_pred(pred_file: str, n_class: int):
+    """Yield prediction-file chunks with header/schema validation
+    (ref calc_kmer_corr.py:209-218)."""
     import pandas as pd
-    df = pd.read_csv(pred_file, sep="\t")
-    if df.columns[0] != "chrom":
-        raise ValueError(f"Invalid file header: {list(df.columns)}; "
-                         "first column should be 'chrom'")
-    if len(df.columns) != n_class + 5:
-        raise ValueError(f"Column count mismatch. Expected {n_class + 5} "
-                         f"columns, got {len(df.columns)}")
-    return df
+    reader = pd.read_csv(pred_file, sep="\t", chunksize=CHUNK_ROWS)
+    first = True
+    for chunk in reader:
+        if first:
+            if chunk.columns[0] != "chrom":
+                raise ValueError(
+                    f"Invalid file header: {list(chunk.columns)}; "
+                    "first column should be 'chrom'")
+            if len(chunk.columns) != n_class + 5:
+                raise ValueError(
+                    f"Column count mismatch. Expected {n_class + 5} "
+                    f"columns, got {len(chunk.columns)}")
+            first = False
+        yield chunk
 
 
 def _extend_interval(start, stop, left, right, model_type):
@@ -86,7 +99,7 @@ def _key_to_kmer(key: int, k: int) -> str:
 
 
 class _Accumulator:
-    """Per-key obs counts and prob sums."""
+    """Per-key obs counts and prob sums (chunk-incremental)."""
 
     def __init__(self, n_keys: int, n_class: int):
         self.obs = np.zeros((n_keys, n_class))
@@ -102,26 +115,23 @@ class _Accumulator:
             self.pred[:, i] += np.bincount(keys, weights=probs[:, i],
                                            minlength=n_keys)
 
-    def rates_frame(self, labels: List[str]):
-        """mut_rates.tsv schema (calc_kmer_corr.py:124-163)."""
-        import pandas as pd
-        present = self.obs.sum(axis=1) > 0
-        obs, pred = self.obs[present], self.pred[present]
-        total = obs.sum(axis=1)
-        cols = {}
-        nc = self.n_class
-        data = np.concatenate([obs[:, 1:] / total[:, None],
-                               pred[:, 1:] / total[:, None],
-                               obs[:, 1:], total[:, None]], axis=1)
-        names = ([f"avg_obs_rate{i}" for i in range(1, nc)]
-                 + [f"avg_pred_rate{i}" for i in range(1, nc)]
-                 + [f"number_of_mut{i}" for i in range(1, nc)]
-                 + ["number_of_all"])
-        df = pd.DataFrame(data, columns=names)
-        for c in names[2 * (nc - 1):]:
-            df[c] = df[c].astype(int)
-        df.insert(0, "type", [labels[i] for i in np.nonzero(present)[0]])
-        return df
+
+def _rates_frame(obs: np.ndarray, pred: np.ndarray, n_class: int):
+    """Shared mut_rates.tsv column assembly
+    (ref calc_kmer_corr.py:124-163 / calc_regional_corr.py:83-140)."""
+    import pandas as pd
+    total = obs.sum(axis=1)
+    data = np.concatenate([obs[:, 1:] / total[:, None],
+                           pred[:, 1:] / total[:, None],
+                           obs[:, 1:], total[:, None]], axis=1)
+    names = ([f"avg_obs_rate{i}" for i in range(1, n_class)]
+             + [f"avg_pred_rate{i}" for i in range(1, n_class)]
+             + [f"number_of_mut{i}" for i in range(1, n_class)]
+             + ["number_of_all"])
+    df = pd.DataFrame(data, columns=names)
+    for c in names[2 * (n_class - 1):]:
+        df[c] = df[c].astype(int)
+    return df
 
 
 def _correlations(df, n_class: int) -> Dict[int, Tuple[float, float]]:
@@ -129,6 +139,14 @@ def _correlations(df, n_class: int) -> Dict[int, Tuple[float, float]]:
     return {i: tuple(pearsonr(df[f"avg_obs_rate{i}"],
                               df[f"avg_pred_rate{i}"]))
             for i in range(1, n_class)}
+
+
+def _write_corr(path: str, tag: str, corr, printer) -> None:
+    with open(path, "w") as fh:
+        for subtype, (c, p) in corr.items():
+            fh.write(f"{tag}\t{subtype}\t{c:.5f}\t{p:.10e}\n")
+    for subtype, (c, p) in corr.items():
+        printer(f"{tag} subtype {subtype}: r={c:.5f} p={p:.3e}")
 
 
 def run_kmer_corr(pred_file: str, ref_genome: str, out_prefix: str,
@@ -141,46 +159,38 @@ def run_kmer_corr(pred_file: str, ref_genome: str, out_prefix: str,
     --strand value ('+', '-' or 'both'; ref :223-224)."""
     if kmer_length <= 1 or kmer_length % 2 != 1:
         raise ValueError("--kmer_length must be a positive odd integer >1")
-    df = _read_pred(pred_file, n_class)
     genome = genome or Genome.from_fasta(ref_genome)
     radius = kmer_length // 2
-
-    codes, valid = _gather_kmers(genome, df, radius, radius, kmer_length,
-                                 model_type)
-    mut = df["mut_type"].to_numpy().astype(np.int64)
-    probs = df[[f"prob{i}" for i in range(n_class)]].to_numpy(np.float64)
-
-    if strand_override and model_type == "indel":
-        strand = np.full(len(df), strand_override)
-    else:
-        strand = df["strand"].to_numpy()
-
     acc = _Accumulator(4 ** kmer_length, n_class)
-    fwd_key = _pack(codes)
-    rev_key = _revcomp_key(codes)
-    plus = valid & ((strand == "+") | (strand == "both"))
-    minus = valid & ((strand == "-") | (strand == "both"))
-    if plus.any():
-        acc.add(fwd_key[plus], mut[plus], probs[plus])
-    if minus.any():
-        acc.add(rev_key[minus], mut[minus], probs[minus])
 
-    labels = None
+    for df in _iter_pred(pred_file, n_class):
+        codes, valid = _gather_kmers(genome, df, radius, radius,
+                                     kmer_length, model_type)
+        mut = df["mut_type"].to_numpy().astype(np.int64)
+        probs = df[[f"prob{i}" for i in range(n_class)]].to_numpy(
+            np.float64)
+        if strand_override and model_type == "indel":
+            strand = np.full(len(df), strand_override)
+        else:
+            strand = df["strand"].to_numpy()
+        fwd_key = _pack(codes)
+        rev_key = _revcomp_key(codes)
+        plus = valid & ((strand == "+") | (strand == "both"))
+        minus = valid & ((strand == "-") | (strand == "both"))
+        if plus.any():
+            acc.add(fwd_key[plus], mut[plus], probs[plus])
+        if minus.any():
+            acc.add(rev_key[minus], mut[minus], probs[minus])
 
-    class _LazyLabels:
-        def __getitem__(self, i):
-            return _key_to_kmer(i, kmer_length)
-
-    rates = acc.rates_frame(_LazyLabels())
+    present = acc.obs.sum(axis=1) > 0
+    rates = _rates_frame(acc.obs[present], acc.pred[present], n_class)
+    rates.insert(0, "type", [_key_to_kmer(i, kmer_length)
+                             for i in np.nonzero(present)[0]])
     corr = _correlations(rates, n_class)
-
     rates.to_csv(f"{out_prefix}.{kmer_length}-mer.mut_rates.tsv",
                  sep="\t", index=False)
-    with open(f"{out_prefix}.{kmer_length}-mer.corr.txt", "w") as fh:
-        for subtype, (c, p) in corr.items():
-            fh.write(f"{kmer_length}-mer\t{subtype}\t{c:.5f}\t{p:.10e}\n")
-    for subtype, (c, p) in corr.items():
-        printer(f"{kmer_length}-mer subtype {subtype}: r={c:.5f} p={p:.3e}")
+    _write_corr(f"{out_prefix}.{kmer_length}-mer.corr.txt",
+                f"{kmer_length}-mer", corr, printer)
     return corr
 
 
@@ -188,39 +198,41 @@ def run_regional_corr(pred_file: str, out_prefix: str, window_size: int,
                       ratio_cutoff: float, n_class: int,
                       printer=print) -> Dict[int, Tuple[float, float]]:
     """Regional obs/pred correlation with median-based window filtering
-    (ref calc_regional_corr.py:168-213)."""
-    import pandas as pd
-    df = _read_pred(pred_file, n_class)
-    window_end = (df["start"].to_numpy().astype(np.int64) // window_size
-                  * window_size + window_size)
-    key = pd.MultiIndex.from_arrays([df["chrom"], window_end])
-    codes, uniques = pd.factorize(key)
+    (ref calc_regional_corr.py:168-213).  Streams the prediction file;
+    windows are keyed by (chrom, window_end) like the reference's dict."""
+    key_index: Dict[Tuple[str, int], int] = {}
+    obs = np.zeros((0, n_class))
+    pred = np.zeros((0, n_class))
 
-    mut = df["mut_type"].to_numpy().astype(np.int64)
-    probs = df[[f"prob{i}" for i in range(n_class)]].to_numpy(np.float64)
-    n_win = len(uniques)
-    obs = np.zeros((n_win, n_class))
-    pred = np.zeros((n_win, n_class))
-    for i in range(n_class):
-        obs[:, i] = np.bincount(codes, weights=(mut == i).astype(float),
-                                minlength=n_win)
-        pred[:, i] = np.bincount(codes, weights=probs[:, i],
-                                 minlength=n_win)
-    total = obs.sum(axis=1)
-
-    nc = n_class
-    names = ([f"avg_obs_rate{i}" for i in range(1, nc)]
-             + [f"avg_pred_rate{i}" for i in range(1, nc)]
-             + [f"number_of_mut{i}" for i in range(1, nc)]
-             + ["number_of_all"])
-    data = np.concatenate([obs[:, 1:] / total[:, None],
-                           pred[:, 1:] / total[:, None],
-                           obs[:, 1:], total[:, None]], axis=1)
-    out = pd.DataFrame(data, columns=names)
-    out.insert(0, "chrom", [u[0] for u in uniques])
-    out.insert(1, "window_end", [u[1] for u in uniques])
-    for c in names[2 * (nc - 1):]:
-        out[c] = out[c].astype(int)
+    for df in _iter_pred(pred_file, n_class):
+        window_end = (df["start"].to_numpy().astype(np.int64)
+                      // window_size * window_size + window_size)
+        chroms = df["chrom"].to_numpy()
+        mut = df["mut_type"].to_numpy().astype(np.int64)
+        probs = df[[f"prob{i}" for i in range(n_class)]].to_numpy(
+            np.float64)
+        # map chunk rows to stable global window ids
+        import pandas as pd
+        codes, uniques = pd.factorize(
+            pd.MultiIndex.from_arrays([chroms, window_end]))
+        gids = np.empty(len(uniques), dtype=np.int64)
+        for j, u in enumerate(uniques):
+            gids[j] = key_index.setdefault((u[0], int(u[1])),
+                                           len(key_index))
+        if len(key_index) > obs.shape[0]:
+            grow = len(key_index) - obs.shape[0]
+            obs = np.vstack([obs, np.zeros((grow, n_class))])
+            pred = np.vstack([pred, np.zeros((grow, n_class))])
+        g = gids[codes]
+        for i in range(n_class):
+            obs[:, i] += np.bincount(g, weights=(mut == i).astype(float),
+                                     minlength=obs.shape[0])
+            pred[:, i] += np.bincount(g, weights=probs[:, i],
+                                      minlength=obs.shape[0])
+    out = _rates_frame(obs, pred, n_class)
+    keys = list(key_index.keys())
+    out.insert(0, "chrom", [k[0] for k in keys])
+    out.insert(1, "window_end", [k[1] for k in keys])
 
     cutoff = ratio_cutoff * np.median(out["number_of_all"].to_numpy())
     out["used_or_deprecated"] = np.where(
@@ -230,11 +242,7 @@ def run_regional_corr(pred_file: str, out_prefix: str, window_size: int,
 
     kb = f"{window_size // 1000}Kb"
     out.to_csv(f"{out_prefix}.{kb}.mut_rates.tsv", sep="\t", index=False)
-    with open(f"{out_prefix}.{kb}.corr.txt", "w") as fh:
-        for subtype, (c, p) in corr.items():
-            fh.write(f"{kb}\t{subtype}\t{c:.5f}\t{p:.10e}\n")
-    for subtype, (c, p) in corr.items():
-        printer(f"{kb} subtype {subtype}: r={c:.5f} p={p:.3e}")
+    _write_corr(f"{out_prefix}.{kb}.corr.txt", kb, corr, printer)
     return corr
 
 
@@ -245,12 +253,12 @@ def run_motif_corr(pred_file: str, ref_genome: str, out_prefix: str,
                    ) -> Dict[int, Tuple[float, float]]:
     """Motif correlation: every motif placement covering the site counts
     (ref calc_motif_corr.py:191-260).  Reverse-complement motif pairs are
-    merged into one canonical key (the reference merges into whichever
-    orientation it saw first; we use the lexicographically smaller one --
-    the partition, and therefore the correlations, are identical)."""
+    merged into one canonical key (the reference's KmerMutSaver defaults
+    to merge_reverse=True and merges into whichever orientation it saw
+    first, :48-69; we use the lexicographically smaller key -- the
+    partition, and therefore the correlations, are identical)."""
     if motif_length <= 1 or motif_length % 2 != 1:
         raise ValueError("--motif_length must be a positive odd integer >1")
-    df = _read_pred(pred_file, n_class)
     genome = genome or Genome.from_fasta(ref_genome)
 
     if model_type == "indel":
@@ -258,34 +266,28 @@ def run_motif_corr(pred_file: str, ref_genome: str, out_prefix: str,
     else:
         placements = [(i, motif_length - 1 - i) for i in range(motif_length)]
 
-    mut = df["mut_type"].to_numpy().astype(np.int64)
-    probs = df[[f"prob{i}" for i in range(n_class)]].to_numpy(np.float64)
-
     acc = _Accumulator(4 ** motif_length, n_class)
-    for left, right in placements:
-        codes, valid = _gather_kmers(genome, df, left, right, motif_length,
-                                     model_type)
-        if not valid.any():
-            continue
-        key = _pack(codes[valid])
-        if merge_reverse:
-            rkey = _revcomp_key(codes[valid])
-            key = np.minimum(key, rkey)
-        acc.add(key, mut[valid], probs[valid])
+    for df in _iter_pred(pred_file, n_class):
+        mut = df["mut_type"].to_numpy().astype(np.int64)
+        probs = df[[f"prob{i}" for i in range(n_class)]].to_numpy(
+            np.float64)
+        for left, right in placements:
+            codes, valid = _gather_kmers(genome, df, left, right,
+                                         motif_length, model_type)
+            if not valid.any():
+                continue
+            key = _pack(codes[valid])
+            if merge_reverse:
+                key = np.minimum(key, _revcomp_key(codes[valid]))
+            acc.add(key, mut[valid], probs[valid])
 
-    class _LazyLabels:
-        def __getitem__(self, i):
-            return _key_to_kmer(i, motif_length)
-
-    rates = acc.rates_frame(_LazyLabels())
+    present = acc.obs.sum(axis=1) > 0
+    rates = _rates_frame(acc.obs[present], acc.pred[present], n_class)
+    rates.insert(0, "type", [_key_to_kmer(i, motif_length)
+                             for i in np.nonzero(present)[0]])
     corr = _correlations(rates, n_class)
     rates.to_csv(f"{out_prefix}.{motif_length}-motif.mut_rates.tsv",
                  sep="\t", index=False)
-    with open(f"{out_prefix}.{motif_length}-motif.corr.txt", "w") as fh:
-        for subtype, (c, p) in corr.items():
-            fh.write(f"{motif_length}-motif\t{subtype}\t{c:.5f}"
-                     f"\t{p:.10e}\n")
-    for subtype, (c, p) in corr.items():
-        printer(f"{motif_length}-motif subtype {subtype}: r={c:.5f} "
-                f"p={p:.3e}")
+    _write_corr(f"{out_prefix}.{motif_length}-motif.corr.txt",
+                f"{motif_length}-motif", corr, printer)
     return corr

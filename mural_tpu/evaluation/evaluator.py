@@ -203,8 +203,13 @@ class Evaluator:
         kmer_list = [k for k in kmer_list
                      if all(c in self.data_and_prob.columns
                             for c in _kmer_columns(k))]
+        if not kmer_list:
+            self.printer("Warning: no k-mer columns available for the "
+                         "regional score; reporting score 0")
+            self.metrics["score"] = 0.0
+            return 0.0
         while len(kmer_list) < 2:
-            kmer_list.append(kmer_list[-1] if kmer_list else 1)
+            kmer_list.append(kmer_list[-1])
         if valid_size > 10000 * 10:
             region_size = 10000
         else:
@@ -219,8 +224,11 @@ class Evaluator:
                                            region_size * (i + 1)]
             c1 = freq_kmer_comp_multi(part, kmer_list[0], self.n_class)
             c2 = freq_kmer_comp_multi(part, kmer_list[1], self.n_class)
-            score += (np.nansum([(1 - c) ** 2 for c in c1])
-                      + np.nansum([(1 - c) ** 2 for c in c2]))
+            # np.sum, not nansum: a degenerate (constant-prediction)
+            # model yields NaN correlations and must surface as a NaN
+            # score, not a perfect 0 (reference semantics)
+            score += (np.sum([(1 - c) ** 2 for c in c1])
+                      + np.sum([(1 - c) ** 2 for c in c2]))
             region_avg.append(calc_avg_prob(part, self.n_class))
 
         region_avg = np.asarray(region_avg) if region_avg else \

@@ -111,6 +111,7 @@ class _Track:
 class TrackSet:
     def __init__(self, files: Sequence[str], names: Sequence[str],
                  radii: Sequence[int]):
+        self.files = list(files)
         self.names = list(names)
         self.radii = list(radii)
         self.tracks = [_Track.load(f) for f in files]

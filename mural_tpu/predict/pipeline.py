@@ -49,11 +49,17 @@ class PredictOptions:
     region_corr: List[int] = dataclasses.field(default_factory=list)
     pred_time_view: bool = False
     n_devices: int = 1                 # shard inference over a mesh
-    device=None
+    device: Optional[object] = None
 
 
 def build_model_from_config(config: Dict, n_cont: int, model_type: str):
-    """run_predict.py:166-181: in_channels and the common config dict."""
+    """run_predict.py:166-181: in_channels and the common config dict.
+
+    in_channels is always 4**distal_order: the reference formally adds
+    n_cont when bigWig distal channels are requested, but its data
+    pipeline only ever produces 4 channels, so any such training run
+    crashes before a checkpoint exists (PARITY.md, "distal bigWig
+    channels") -- no rehydratable checkpoint can carry extra channels."""
     in_channels = 4 ** config.get("distal_order", 1)
     common = {
         "emb_dims": config["emb_dims"],

@@ -44,8 +44,19 @@ def _load_regions(bed_path: str) -> Dict[str, np.ndarray]:
                 continue
             f = line.split()
             per.setdefault(f[0], []).append((int(f[1]), int(f[2])))
-    return {c: np.asarray(sorted(v), dtype=np.int64)
-            for c, v in per.items()}
+    out = {}
+    for c, v in per.items():
+        iv = np.asarray(sorted(v), dtype=np.int64)
+        # merge overlapping/nested intervals so the membership test below
+        # is exact (equivalent to bedtools intersect for overlap queries)
+        merged = [iv[0].tolist()]
+        for s_, e_ in iv[1:]:
+            if s_ <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e_)
+            else:
+                merged.append([s_, e_])
+        out[c] = np.asarray(merged, dtype=np.int64)
+    return out
 
 
 def _in_regions(chroms, starts, ends, regions: Dict[str, np.ndarray]
@@ -60,14 +71,12 @@ def _in_regions(chroms, starts, ends, regions: Dict[str, np.ndarray]
         if iv is None or not len(iv):
             continue
         s, e = starts[m], ends[m]
-        # region index whose start is <= site end-1
+        # intervals are merged and disjoint: the only candidate is the
+        # last region starting before the site's end
         idx = np.searchsorted(iv[:, 0], e - 1, side="right") - 1
         ok = idx >= 0
         hit = np.zeros(m.sum(), dtype=bool)
         hit[ok] = iv[idx[ok], 1] > s[ok]
-        # also catch overlap with the *next* region (site spans boundary)
-        nxt = np.clip(idx + 1, 0, len(iv) - 1)
-        hit |= (iv[nxt, 0] < e) & (iv[nxt, 1] > s)
         mask[m] = hit
     return mask
 

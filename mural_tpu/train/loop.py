@@ -72,7 +72,7 @@ class TrainOptions:
     init_fc_with_pretrained: bool = False
     # misc
     rng_seed: int = 0
-    device=None
+    device: Optional[object] = None
     dp_devices: int = 1                # data-parallel mesh size
     profile_dir: Optional[str] = None  # capture a jax profiler trace
 
@@ -277,9 +277,8 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
         # scheme (materialize_variables); pin on device once
         variables = jax.device_put(dict(variables), opts.device)
 
-    total_params = sum(int(np.prod(np.shape(p)))
-                      for p in jax.tree.leaves(variables["params"]))
-    printer("Total Trainable Params:", total_params)
+    from mural_tpu.utils.params import count_parameters
+    total_params = count_parameters(variables["params"], printer=printer)
 
     # --- optimizer / schedule -----------------------------------------
     config["weight_decay"] = auto_weight_decay(
