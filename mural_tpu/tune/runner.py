@@ -128,10 +128,15 @@ def run_experiment(space: Dict, base_opts: TrainOptions, model_type: str,
         err_path = os.path.join(trial_dir, "error.txt")
         if os.path.exists(err_path):
             os.remove(err_path)
+        # every trial gets its own init/shuffle seed -- otherwise repeat
+        # trials of an identical config are bit-identical and useless
+        trial_seed = (base_opts.rng_seed
+                      + int(trial_id.rsplit("_", 1)[-1]))
         opts = dataclasses.replace(
             base_opts, trial_dir=trial_dir,
             trial_training_log=os.path.join(trial_dir, "training.log"),
-            epochs=exp.epochs, grace_period=exp.grace_period)
+            epochs=exp.epochs, grace_period=exp.grace_period,
+            rng_seed=trial_seed)
         dev = None
         if n_parallel > 1:
             with lock:
