@@ -304,6 +304,10 @@ def add_predict_parser(subparsers, model_type: str):
                      default=16, help="Batch size. Default: 16.")
     opt.add_argument("--n_devices", type=int, metavar="INT", default=1,
                      help="Shard inference over this many TPU devices.")
+    opt.add_argument("--fused_inference", default=False,
+                     action="store_true",
+                     help="BN-folded fused forward with the Pallas stem "
+                          "kernel (SNV model_no 2 only).")
     opt.add_argument("--kmer_corr", type=int, metavar="INT", default=[],
                      nargs="+", help="Inline k-mer correlations for "
                      "these odd k values.")

@@ -249,6 +249,7 @@ def cmd_predict(args, model_type: str) -> int:
         region_corr=args.region_corr,
         pred_time_view=args.pred_time_view,
         n_devices=args.n_devices,
+        fused_inference=getattr(args, "fused_inference", False),
     )
     run_predict(opts, model_type)
     return 0

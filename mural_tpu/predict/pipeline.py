@@ -49,6 +49,7 @@ class PredictOptions:
     region_corr: List[int] = dataclasses.field(default_factory=list)
     pred_time_view: bool = False
     n_devices: int = 1                 # shard inference over a mesh
+    fused_inference: bool = False      # BN-folded fused forward (SNV m2)
     device: Optional[object] = None
 
 
@@ -116,6 +117,22 @@ def run_predict(opts: PredictOptions, model_type: str = "snv",
     prob_names = [f"prob{i}" for i in range(n_class)]
     test_size = ds.n_sites
 
+    use_fused = (opts.fused_inference and model_type == "snv"
+                 and config.get("model_no") == 2)
+    if use_fused:
+        from mural_tpu.ops.fused_inference import (fold_snv2,
+                                                   snv2_fused_forward)
+        from mural_tpu.train.steps import masked_ce_sum
+        folded = fold_snv2({"params": params,
+                            "batch_stats": batch_stats}, config)
+        k_stem = config["CNN_kernel_size"]
+
+        @jax.jit
+        def eval_step(p_, bs_, y, cat, cont, distal_codes, mask):
+            logits = snv2_fused_forward(folded, cat, distal_codes,
+                                        k=k_stem)
+            return logits, masked_ce_sum(logits, y, mask)
+
     if opts.n_devices > 1:
         from mural_tpu.parallel.sharded_predict import sharded_predict
         logits, total_loss = sharded_predict(
@@ -123,7 +140,8 @@ def run_predict(opts: PredictOptions, model_type: str = "snv",
             opts.n_devices)
     else:
         import jax.numpy as jnp
-        eval_step = make_eval_step(model)
+        if not use_fused:
+            eval_step = make_eval_step(model)
         parts = []
         n_valids = []
         loss_dev = jnp.zeros((), jnp.float32)
