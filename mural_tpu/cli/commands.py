@@ -353,6 +353,10 @@ def add_predict_genome_parser(subparsers, model_type: str):
                      default=2048, help="Batch size. Default: 2048.")
     opt.add_argument("--n_devices", type=int, metavar="INT", default=1,
                      help="Shard over this many TPU devices.")
+    opt.add_argument("--fused_inference", default=False,
+                     action="store_true",
+                     help="BN-folded fused forward with the Pallas stem "
+                          "kernel (SNV model_no 2 only).")
     p.set_defaults(func="predict_genome")
     return p
 

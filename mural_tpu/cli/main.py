@@ -269,6 +269,7 @@ def cmd_predict_genome(args, model_type: str) -> int:
         chroms=args.chroms,
         batch_size=args.pred_batch_size,
         n_devices=args.n_devices,
+        fused_inference=getattr(args, "fused_inference", False),
     )
     run_genome_predict(opts, model_type)
     return 0

@@ -43,6 +43,7 @@ class GenomePredictOptions:
     batch_size: int = 2048
     flush_batches: int = 256         # transfer/write cadence
     n_devices: int = 1
+    fused_inference: bool = False    # BN-folded fused forward (SNV m2)
     progress_every: int = 2000       # batches between progress prints
 
 
@@ -135,7 +136,22 @@ def run_genome_predict(opts: GenomePredictOptions,
         sharding = None
         batch_size = opts.batch_size
 
-    eval_step = make_eval_step(model)
+    if (opts.fused_inference and model_type == "snv"
+            and config.get("model_no") == 2):
+        import jax.numpy as jnp
+        from mural_tpu.ops.fused_inference import (fold_snv2,
+                                                   snv2_fused_forward)
+        folded = fold_snv2({"params": params,
+                            "batch_stats": batch_stats}, config)
+        k_stem = config["CNN_kernel_size"]
+
+        @jax.jit
+        def eval_step(p_, bs_, y, cat, cont, distal_codes, mask):
+            logits = snv2_fused_forward(folded, cat, distal_codes,
+                                        k=k_stem)
+            return logits, jnp.zeros((), jnp.float32)
+    else:
+        eval_step = make_eval_step(model)
     prob_names = [f"prob{i}" for i in range(n_class)]
 
     def batches() -> Iterator[Batch]:
