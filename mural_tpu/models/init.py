@@ -18,14 +18,6 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _is_conv_kernel(path, leaf):
-    return leaf.ndim == 3
-
-
-def _is_dense_kernel(path, leaf):
-    return leaf.ndim == 2 and path[-1].key == "kernel"
-
-
 def materialize_variables(template, seed: int = 0):
     """Build {params, batch_stats} arrays directly from a shape template
     (``jax.eval_shape`` of ``model.init``) with the reference's init

@@ -118,7 +118,10 @@ def run_predict(opts: PredictOptions, model_type: str = "snv",
     test_size = ds.n_sites
 
     use_fused = (opts.fused_inference and model_type == "snv"
-                 and config.get("model_no") == 2)
+                 and config.get("model_no") == 2 and ds.n_cont == 0)
+    if opts.fused_inference and not use_fused:
+        printer("NOTE: --fused_inference only supports SNV model_no 2 "
+                "without continuous features; using the standard path.")
     if use_fused:
         from mural_tpu.ops.fused_inference import (fold_snv2,
                                                    snv2_fused_forward)

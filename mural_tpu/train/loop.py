@@ -256,6 +256,9 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     variables = _init_variables(model, ds, opts.rng_seed)
     trainable_mask = None
     if config.get("transfer_learning"):
+        config.setdefault("train_all", opts.train_all)
+        config.setdefault("init_fc_with_pretrained",
+                          opts.init_fc_with_pretrained)
         template = {"params": variables["params"],
                     "batch_stats": variables.get("batch_stats", {})}
         restored = jax.device_put(
@@ -422,6 +425,7 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
         chr_pos = ds_valid.position_frame()
         save_path = os.path.join(opts.trial_dir, f"checkpoint_{epoch}",
                                  "model")
+        os.makedirs(os.path.dirname(save_path), exist_ok=True)
         ev0.evaluate_regional_corr(
             chr_pos, save_valid_preds=opts.save_valid_preds,
             save_path=save_path)

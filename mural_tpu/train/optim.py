@@ -69,8 +69,12 @@ class LRSchedule:
         if name == "ROP":
             return cls("ROP", learning_rate, 0.2, 1, restart_lr, min_lr,
                        steps_per_epoch)
-        return cls("constant", learning_rate, 1.0, 1, restart_lr, min_lr,
-                   steps_per_epoch)
+        if name == "constant":
+            return cls("constant", learning_rate, 1.0, 1, restart_lr,
+                       min_lr, steps_per_epoch)
+        raise ValueError(
+            f"unsupported lr_scheduler {name!r}; choose StepLR, StepLR2 "
+            "or ROP")
 
     def _first_below(self, start: float) -> int:
         """Smallest j >= 0 with start * gamma**j < min_lr."""

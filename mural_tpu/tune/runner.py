@@ -102,13 +102,21 @@ def run_experiment(space: Dict, base_opts: TrainOptions, model_type: str,
                                   grace_period=exp.grace_period)
 
     # assemble trial list (fresh, or only errored ones on rerun_failed)
+    import pickle
     trials = []
     if exp.rerun_failed:
         for name in sorted(os.listdir(exp_dir)):
             tdir = os.path.join(exp_dir, name)
             if os.path.isdir(tdir) and os.path.exists(
                     os.path.join(tdir, "error.txt")):
-                trials.append((name, sample_config(space, rng)))
+                # resume the trial's ORIGINAL config (parity with the
+                # reference's resume='ERRORED_ONLY'), persisted at launch
+                cfg_path = os.path.join(tdir, "trial_config.pkl")
+                if os.path.exists(cfg_path):
+                    with open(cfg_path, "rb") as fh:
+                        trials.append((name, pickle.load(fh)))
+                else:
+                    trials.append((name, sample_config(space, rng)))
         printer(f"rerun_failed: re-running {len(trials)} errored trials")
     else:
         for i in range(exp.n_trials):
@@ -120,6 +128,7 @@ def run_experiment(space: Dict, base_opts: TrainOptions, model_type: str,
 
     results = []
     lock = threading.Lock()
+    launch_counter = [0]
 
     def launch(idx_trial):
         trial_id, config = idx_trial
@@ -138,9 +147,17 @@ def run_experiment(space: Dict, base_opts: TrainOptions, model_type: str,
             epochs=exp.epochs, grace_period=exp.grace_period,
             rng_seed=trial_seed)
         dev = None
+        with lock:
+            launch_idx = launch_counter[0]
+            launch_counter[0] += 1
         if n_parallel > 1:
-            with lock:
-                dev = devices[len(results) % n_parallel]
+            # round-robin over LAUNCH order (completed-trial count would
+            # pin all concurrent starters to device 0)
+            dev = devices[launch_idx % n_parallel]
+        with open(os.path.join(trial_dir, "trial_config.pkl"),
+                  "wb") as fh:
+            import pickle
+            pickle.dump(config, fh)
         out = _trial_worker(trial_id, config, opts, model_type,
                             scheduler, device=dev)
         with lock:
