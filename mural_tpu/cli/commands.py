@@ -350,13 +350,22 @@ def add_predict_genome_parser(subparsers, model_type: str):
     opt.add_argument("--chroms", type=str, nargs="+", default=None,
                      help="Restrict to these chromosomes.")
     opt.add_argument("--pred_batch_size", type=int, metavar="INT",
-                     default=2048, help="Batch size. Default: 2048.")
+                     default=16384,
+                     help="Batch size; large batches amortise per-"
+                          "dispatch transfer latency. Default: 16384.")
     opt.add_argument("--n_devices", type=int, metavar="INT", default=1,
                      help="Shard over this many TPU devices.")
+    opt.add_argument("--n_workers", type=int, metavar="INT", default=0,
+                     help="Postprocess worker processes (calibration + "
+                          "formatting + gzip). 0 = inline. Default: 0.")
     opt.add_argument("--fused_inference", default=False,
                      action="store_true",
                      help="BN-folded fused forward with the Pallas stem "
                           "kernel (SNV model_no 2 only).")
+    opt.add_argument("--pred_time_view", default=False,
+                     action="store_true",
+                     help="Print a phase-timing table (reference "
+                          "predict's --pred_time_view analogue).")
     p.set_defaults(func="predict_genome")
     return p
 

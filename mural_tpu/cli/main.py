@@ -269,7 +269,9 @@ def cmd_predict_genome(args, model_type: str) -> int:
         chroms=args.chroms,
         batch_size=args.pred_batch_size,
         n_devices=args.n_devices,
+        n_workers=getattr(args, "n_workers", 0),
         fused_inference=getattr(args, "fused_inference", False),
+        time_view=getattr(args, "pred_time_view", False),
     )
     run_genome_predict(opts, model_type)
     return 0

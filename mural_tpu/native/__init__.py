@@ -69,6 +69,15 @@ def get_lib():
         lib.mural_gather_one_hot.argtypes = [
             u8p, ctypes.c_int64, i64p, ctypes.c_int64, ctypes.c_int64,
             u8p, u8p, ctypes.c_uint8, f32p, f32p]
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.mural_track_mean.argtypes = [
+            f64p, f32p, ctypes.c_int64, ctypes.c_int64, i64p, i64p,
+            ctypes.c_int64, f64p]
+        lib.mural_format_pred_tsv.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, i64p, u8p, f64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_int64]
+        lib.mural_format_pred_tsv.restype = ctypes.c_int64
         _LIB = lib
         return _LIB
 
@@ -93,6 +102,53 @@ def gather_windows(codes: np.ndarray, starts: np.ndarray, width: int,
         np.ascontiguousarray(codes), len(codes), starts, len(starts),
         width, neg, COMPLEMENT, N_CODE, out)
     return out
+
+
+def track_mean(block_prefix: np.ndarray, inblock: np.ndarray,
+               starts: np.ndarray, stops: np.ndarray, k: int = 4096):
+    """One-pass range means over a two-level prefix-sum track; returns
+    None when the native library is unavailable (caller falls back to
+    the vectorized numpy path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(inblock)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    stops = np.ascontiguousarray(stops, dtype=np.int64)
+    out = np.empty(len(starts), dtype=np.float64)
+    lib.mural_track_mean(
+        np.ascontiguousarray(block_prefix, dtype=np.float64),
+        np.ascontiguousarray(inblock, dtype=np.float32),
+        n, k, starts, stops, len(starts), out)
+    return out
+
+
+def format_pred_tsv(chrom: str, pos: np.ndarray, neg: np.ndarray,
+                    probs: np.ndarray) -> bytes:
+    """Format prediction rows as TSV bytes (chrom start end strand
+    prob0..N, probabilities %.4g — the reference's to_csv float_format).
+    Native C++ when available, numpy fallback otherwise."""
+    pos = np.ascontiguousarray(pos, dtype=np.int64)
+    neg = np.ascontiguousarray(neg, dtype=np.uint8)
+    probs = np.ascontiguousarray(probs, dtype=np.float64)
+    n, n_class = probs.shape
+    lib = get_lib()
+    if lib is not None and n:
+        cb = chrom.encode()
+        cap = n * (len(cb) + 2 * 21 + 2 + n_class * 14 + 8)
+        buf = ctypes.create_string_buffer(cap)
+        written = lib.mural_format_pred_tsv(cb, len(cb), pos, neg, probs,
+                                            n, n_class, buf, cap)
+        if written >= 0:
+            return buf.raw[:written]
+    # numpy fallback: vectorized %-formatting per column
+    cols = [np.full(n, chrom), pos.astype(str),
+            (pos + 1).astype(str), np.where(neg, "-", "+")]
+    cols += [np.char.mod("%.4g", probs[:, j]) for j in range(n_class)]
+    rows = cols[0]
+    for c in cols[1:]:
+        rows = np.char.add(np.char.add(rows, "\t"), c)
+    return ("\n".join(rows) + "\n").encode() if n else b""
 
 
 def kmer_pack(windows: np.ndarray, k: int) -> np.ndarray:

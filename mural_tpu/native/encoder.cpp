@@ -12,6 +12,7 @@
 // extern "C" with raw pointers + explicit sizes.
 
 #include <cstdint>
+#include <cstdio>
 #include <cstring>
 
 extern "C" {
@@ -115,6 +116,65 @@ void mural_gather_one_hot(const uint8_t* codes, int64_t n_codes,
             }
         }
     }
+}
+
+// Range means over a two-level prefix-sum track (genome/tracks.py):
+//   S(p) = block_prefix[p / K] + inblock[p],  sum(lo,hi) = S(hi) - S(lo)
+// One pass over sites, 4 random reads each -- replaces ~16 full-array
+// numpy passes for the 10M-site training-scale query.
+void mural_track_mean(const double* block_prefix, const float* inblock,
+                      int64_t n, int64_t k, const int64_t* starts,
+                      const int64_t* stops, int64_t n_sites,
+                      double* out) {
+    const double total = block_prefix[n > 0 ? (n + k - 1) / k : 0];
+    for (int64_t i = 0; i < n_sites; ++i) {
+        int64_t lo = starts[i] < 0 ? 0 : starts[i];
+        int64_t hi = stops[i] > n ? n : stops[i];
+        if (hi <= lo) { out[i] = 0.0; continue; }
+        const double s_lo = (lo >= n) ? total
+            : block_prefix[lo / k] + (double)inblock[lo];
+        const double s_hi = (hi >= n) ? total
+            : block_prefix[hi / k] + (double)inblock[hi];
+        out[i] = (s_hi - s_lo) / (double)(hi - lo);
+    }
+}
+
+// Format prediction rows as TSV bytes:
+//   <chrom>\t<start>\t<end>\t<strand>\t<prob0>...\t<probN>\n
+// Probabilities use printf %.4g (matching the reference's pandas
+// float_format='%.4g', MuRaL/scripts/run_predict.py to_csv).  Integer
+// fields use a hand itoa; floats go through snprintf, which dominates but
+// is still ~50x faster than the per-cell Python formatting it replaces.
+// Returns bytes written, or -1 if `cap` would be exceeded.
+int64_t mural_format_pred_tsv(const char* chrom, int64_t chrom_len,
+                              const int64_t* pos, const uint8_t* neg,
+                              const double* probs, int64_t n,
+                              int64_t n_class, char* out, int64_t cap) {
+    // worst case per row: chrom + 2*20-digit ints + strand + floats
+    const int64_t worst = chrom_len + 2 * 21 + 2 + n_class * 14 + 8;
+    char* p = out;
+    for (int64_t i = 0; i < n; ++i) {
+        if ((p - out) + worst > cap) return -1;
+        std::memcpy(p, chrom, chrom_len);
+        p += chrom_len;
+        *p++ = '\t';
+        // itoa for start / end (= start + 1); positions are >= 0
+        for (int rep = 0; rep < 2; ++rep) {
+            uint64_t v = (uint64_t)pos[i] + (uint64_t)rep;
+            char tmp[20];
+            int len = 0;
+            do { tmp[len++] = '0' + (char)(v % 10); v /= 10; } while (v);
+            while (len) *p++ = tmp[--len];
+            *p++ = '\t';
+        }
+        *p++ = neg[i] ? '-' : '+';
+        for (int64_t j = 0; j < n_class; ++j) {
+            *p++ = '\t';
+            p += snprintf(p, 16, "%.4g", probs[i * n_class + j]);
+        }
+        *p++ = '\n';
+    }
+    return p - out;
 }
 
 }  // extern "C"

@@ -10,15 +10,18 @@ TPU-first:
   positions whose focal base matches the model's training base on either
   strand -- the MuRaL convention of per-focal-base models), no BED
   materialisation;
-- fixed-size batches stream through a double-buffered prefetch into an
-  async jitted forward (optionally sharded over a device mesh);
-- results stream to a gzip TSV writer in bounded-memory flushes.
+- chromosome chunk codes are uploaded to the device ONCE and windows are
+  gathered + encoded in-graph (ops/device_gather.py): per batch only
+  three small index vectors travel over the host->device link;
+- the async jitted forward is optionally sharded over a device mesh;
+- calibration + formatting + gzip run in a PostprocessFarm
+  (predict/post_farm.py): inline via the native C++ TSV formatter or
+  fanned out over worker processes with byte-identical ordered output.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import gzip
 import time
 from typing import Iterator, List, Optional, Sequence
 
@@ -42,9 +45,12 @@ class GenomePredictOptions:
     chroms: Optional[Sequence[str]] = None
     batch_size: int = 2048
     flush_batches: int = 256         # transfer/write cadence
+    chunk_size: int = 1 << 22        # codes uploaded per device chunk
     n_devices: int = 1
+    n_workers: int = 0               # postprocess worker processes
     fused_inference: bool = False    # BN-folded fused forward (SNV m2)
     progress_every: int = 2000       # batches between progress prints
+    time_view: bool = False          # print a phase-timing table
 
 
 def iter_focal_sites(genome: Genome, focal_base: str,
@@ -89,17 +95,31 @@ def run_genome_predict(opts: GenomePredictOptions,
 
     from mural_tpu.utils.compile_cache import _enable_compilation_cache
     _enable_compilation_cache()
-    from mural_tpu.data.batcher import Batch
-    from mural_tpu.data.prefetch import prefetch
-    from mural_tpu import native
     from mural_tpu.models.init import materialize_variables
+    from mural_tpu.models.layers import one_hot_from_codes
+    from mural_tpu.ops.device_gather import (iter_code_chunks,
+                                             make_batch_encoder)
     from mural_tpu.predict.pipeline import build_model_from_config
-    from mural_tpu.train.steps import make_eval_step
 
     t0 = time.time()
+    phases: dict = {}
+
+    def _phase(name):
+        now = time.time()
+        phases[name] = now - _phase.last
+        _phase.last = now
+    _phase.last = t0
+
     config = load_config(opts.model_config_path)
     n_class = config["n_class"]
+    if config.get("n_cont", 0):
+        raise ValueError(
+            "this checkpoint was trained with bigWig track features "
+            f"(n_cont={config['n_cont']}); genome-wide prediction does "
+            "not generate continuous features -- use `predict` with a "
+            "BED and --bw_paths instead")
     genome = Genome.from_fasta(opts.ref_genome)
+    _phase("load genome")
 
     model = build_model_from_config(config, 0, model_type)
     local_radius = config["local_radius"]
@@ -119,6 +139,7 @@ def run_genome_predict(opts: GenomePredictOptions,
          "batch_stats": template.get("batch_stats", {})}, 0)
     restored = jax.device_put(load_checkpoint(opts.model_path, variables))
     params, batch_stats = restored["params"], restored["batch_stats"]
+    _phase("load checkpoint")
 
     calibr = (load_calibrator(opts.calibrator_path)
               if opts.calibrator_path else None)
@@ -136,118 +157,220 @@ def run_genome_predict(opts: GenomePredictOptions,
         sharding = None
         batch_size = opts.batch_size
 
+    # device-side window gather + encode (ops/device_gather.py): chunk
+    # codes go up once, per batch only (lstart, dstart, neg) vectors
+    # travel -- ~60x less host->device traffic than host gathering
+    encode_fn, _, _ = make_batch_encoder(local_radius, local_order,
+                                         distal_radius, model_type)
+
     if (opts.fused_inference and model_type == "snv"
             and config.get("model_no") == 2):
-        import jax.numpy as jnp
         from mural_tpu.ops.fused_inference import (fold_snv2,
                                                    snv2_fused_forward)
         folded = fold_snv2({"params": params,
                             "batch_stats": batch_stats}, config)
         k_stem = config["CNN_kernel_size"]
 
-        @jax.jit
-        def eval_step(p_, bs_, y, cat, cont, distal_codes, mask):
-            logits = snv2_fused_forward(folded, cat, distal_codes,
-                                        k=k_stem)
-            return logits, jnp.zeros((), jnp.float32)
+        def forward(p_, bs_, cat, distal_codes):
+            return snv2_fused_forward(folded, cat, distal_codes,
+                                      k=k_stem)
     else:
-        eval_step = make_eval_step(model)
+        def forward(p_, bs_, cat, distal_codes):
+            return model.apply({"params": p_, "batch_stats": bs_}, cat,
+                               None, one_hot_from_codes(distal_codes),
+                               False)
+
+    @jax.jit
+    def genome_step(p_, bs_, codes, packed):
+        # packed: (B, 3) int32 = [lstart, dstart, neg] -- one transfer
+        # per batch instead of three (each host->device put is a tunnel
+        # round trip on remote-device setups)
+        lstart, dstart = packed[:, 0], packed[:, 1]
+        neg = packed[:, 2].astype(bool)
+        cat, dwin = encode_fn(codes, lstart, dstart, neg)
+        return forward(p_, bs_, cat, dwin)
+
     prob_names = [f"prob{i}" for i in range(n_class)]
+    margin = max(distal_radius, local_radius + local_order) + 2
+    chunk_len = opts.chunk_size
+    fwd_code = rev_code = None
+    if opts.focal_base != "all":
+        from mural_tpu.genome.fasta import encode_sequence
+        fwd_code = encode_sequence(opts.focal_base)[0]
+        rev_code = COMPLEMENT[fwd_code]
 
-    def batches() -> Iterator[Batch]:
-        buf_pos: List[np.ndarray] = []
-        for chrom, pos, neg in iter_focal_sites(genome, opts.focal_base,
-                                                opts.chroms):
-            codes = genome[chrom]
-            for lo in range(0, len(pos), batch_size):
-                p = pos[lo:lo + batch_size]
-                ng = neg[lo:lo + batch_size]
-                n_valid = len(p)
-                if n_valid < batch_size:
-                    pad = batch_size - n_valid
-                    p = np.concatenate([p, np.zeros(pad, np.int64)])
-                    ng = np.concatenate([ng, np.zeros(pad, bool)])
-                lstart = enc.expanded_start(p, local_radius, model_type)
-                dstart = enc.expanded_start(p, distal_radius, model_type)
-                lwin = native.gather_windows(codes, lstart, lw, ng)
-                distal = native.gather_windows(codes, dstart, dw, ng)
-                cat = (native.kmer_pack(lwin, local_order)
-                       if local_order > 1
-                       else enc.order1_local(lwin, model_type)
-                       .astype(np.int32))
-                yield Batch(y=np.zeros(batch_size, np.int32),
-                            cat=cat.astype(np.int32), cont=None,
-                            distal=distal, n_valid=n_valid,
-                            rows=p), chrom, ng
+    if sharding is not None:
+        from mural_tpu.parallel.mesh import replicated as _replicated
+        rep_sharding = _replicated(mesh)
 
-    # wrap to fit prefetch's Batch-only contract
+        def _put(x, replicate=False):
+            return jax.device_put(
+                x, rep_sharding if replicate else sharding)
+    else:
+        def _put(x, replicate=False):
+            return jax.device_put(x)  # async: overlaps with compute
+
     meta: List = []
 
-    def batch_stream():
-        for b, chrom, ng in batches():
-            meta.append((chrom, b.rows[:b.n_valid].copy(),
-                         ng[:b.n_valid].copy()))
-            yield b
+    def host_batches():
+        """Yield (chunk_key, padded_or_None, packed, n_valid, meta_row):
+        padded codes only on the first batch of each chunk."""
+        for chrom in (opts.chroms or genome.names()):
+            for lo, hi, padded in iter_code_chunks(genome, chrom,
+                                                   margin, chunk_len):
+                part = genome[chrom][lo:hi]
+                if opts.focal_base == "all":
+                    pos = np.arange(lo, hi, dtype=np.int64)
+                    neg = np.zeros(len(pos), bool)
+                else:
+                    pos_f = lo + np.nonzero(part == fwd_code)[0]
+                    pos_r = lo + np.nonzero(part == rev_code)[0]
+                    pos = np.concatenate([pos_f, pos_r])
+                    neg = np.concatenate([np.zeros(len(pos_f), bool),
+                                          np.ones(len(pos_r), bool)])
+                    order = np.argsort(pos, kind="stable")
+                    pos, neg = pos[order], neg[order]
+                if not len(pos):
+                    continue
+                first = True
+                for b0 in range(0, len(pos), batch_size):
+                    p = pos[b0:b0 + batch_size]
+                    ng = neg[b0:b0 + batch_size]
+                    n_valid = len(p)
+                    if n_valid < batch_size:
+                        pad = batch_size - n_valid
+                        p = np.concatenate(
+                            [p, np.full(pad, lo, np.int64)])
+                        ng = np.concatenate([ng, np.zeros(pad, bool)])
+                    rel = (-lo + margin)
+                    packed = np.empty((batch_size, 3), np.int32)
+                    packed[:, 0] = (enc.expanded_start(
+                        p, local_radius, model_type) + rel)
+                    packed[:, 1] = (enc.expanded_start(
+                        p, distal_radius, model_type) + rel)
+                    packed[:, 2] = ng
+                    yield (padded if first else None, packed, n_valid,
+                           (chrom, p[:n_valid], ng[:n_valid]))
+                    first = False
 
-    # compresslevel 1: ~3x faster writes at modest size cost -- the writer
-    # shares the single host core with the gather/calibration pipeline
-    out_fh = (gzip.open(opts.pred_file, "wt", compresslevel=1)
-              if opts.pred_file.endswith(".gz")
-              else open(opts.pred_file, "w"))
-    out_fh.write("\t".join(["chrom", "start", "end", "strand"]
-                           + prob_names) + "\n")
+    def device_batches():
+        """Prefetch thread device_puts chunk codes + packed indices one
+        batch ahead so transfers overlap compute; yields
+        (logits_device, n_valid) with meta appended in order."""
+        import queue
+        import threading
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+        _END = object()
+        err: List = []
+        stop = threading.Event()
+
+        def worker():
+            codes_dev = None
+            try:
+                for padded, packed, n_valid, mrow in host_batches():
+                    if padded is not None:
+                        codes_dev = _put(padded, replicate=True)
+                    item = (codes_dev, _put(packed), n_valid, mrow)
+                    while not stop.is_set():
+                        try:
+                            q.put(item, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    else:
+                        return
+            except BaseException as e:
+                err.append(e)
+            finally:
+                while not stop.is_set():
+                    try:
+                        q.put(_END, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    if err:
+                        raise err[0]
+                    return
+                codes_dev, packed_dev, n_valid, mrow = item
+                step_t0 = time.time()
+                lg = genome_step(params, batch_stats, codes_dev,
+                                 packed_dev)
+                if "first step (compile)" not in phases:
+                    phases["first step (compile)"] = (time.time()
+                                                      - step_t0)
+                meta.append(mrow)
+                yield lg, n_valid
+        finally:
+            stop.set()
+
+    # calibration + %.4g formatting + gzip run in the PostprocessFarm:
+    # inline (native C++ formatter, ~12x the pandas path) or fanned out
+    # over n_workers processes with ordered writes
+    from mural_tpu.predict.post_farm import PostprocessFarm
+    farm = PostprocessFarm(
+        opts.pred_file, ["chrom", "start", "end", "strand"] + prob_names,
+        calibrator=calibr,
+        poisson=(opts.poisson_calib or model_type == "indel"),
+        n_workers=opts.n_workers)
 
     pending: List = []
     pending_valid: List[int] = []
-    total = 0
+    submitted = 0
     batch_count = 0
 
     def flush():
-        nonlocal total
+        nonlocal submitted
         if not pending:
             return
-        logits = np.concatenate(
-            [np.asarray(lg)[:n] for lg, n in
-             zip(pending, pending_valid)])
-        e = np.exp(logits - logits.max(axis=1, keepdims=True))
-        probs = e / e.sum(axis=1, keepdims=True)
-        if calibr is not None:
-            probs = calibr.predict_proba(probs)
-        if opts.poisson_calib or model_type == "indel":
-            from mural_tpu.calibrate import poisson_calibrate
-            probs = poisson_calibrate(probs)
-        import pandas as pd
-        chroms = np.concatenate([np.full(len(p), c)
-                                 for c, p, _ in meta[:len(pending)]])
-        pos = np.concatenate([p for _, p, _ in meta[:len(pending)]])
-        neg = np.concatenate([g for _, _, g in meta[:len(pending)]])
-        df = pd.DataFrame({"chrom": chroms, "start": pos,
-                           "end": pos + 1,
-                           "strand": np.where(neg, "-", "+")})
-        for j in range(n_class):
-            # pre-format with vectorized %.4g: pandas' float_format path
-            # formats via a Python call per cell and dominates runtime
-            df[prob_names[j]] = np.char.mod("%.4g", probs[:, j])
-        df.to_csv(out_fh, sep="\t", header=False, index=False)
-        del meta[:len(pending)]
-        total += len(df)
+        logits_np = [np.asarray(lg)[:n] for lg, n in
+                     zip(pending, pending_valid)]
+        # one farm chunk per run of consecutive same-chrom batches
+        i, k = 0, len(pending)
+        while i < k:
+            chrom = meta[i][0]
+            j = i
+            while j < k and meta[j][0] == chrom:
+                j += 1
+            pos = np.concatenate([meta[t][1] for t in range(i, j)])
+            neg = np.concatenate([meta[t][2] for t in range(i, j)])
+            farm.submit(chrom, pos, neg, np.concatenate(logits_np[i:j]))
+            submitted += len(pos)
+            i = j
+        del meta[:k]
         pending.clear()
         pending_valid.clear()
 
-    for db in prefetch(batch_stream(), size=2, sharding=sharding):
-        lg, _ = eval_step(params, batch_stats, db.y, db.cat, db.cont,
-                          db.distal, db.mask)
+    for lg, n_valid in device_batches():
         pending.append(lg)
-        pending_valid.append(db.n_valid)
+        pending_valid.append(n_valid)
         batch_count += 1
         if len(pending) >= opts.flush_batches:
             flush()
         if batch_count % opts.progress_every == 0:
-            printer(f"{batch_count} batches, {total:,} sites written, "
-                    f"{total / max(time.time() - t0, 1e-9):,.0f} sites/s")
+            printer(f"{batch_count} batches, {submitted:,} sites "
+                    f"submitted, "
+                    f"{submitted / max(time.time() - t0, 1e-9):,.0f} "
+                    f"sites/s")
     flush()
-    out_fh.close()
+    _phase("device loop + flushes")
+    total = farm.close()
+    _phase("writer close")
     rate = total / max(time.time() - t0, 1e-9)
+    if opts.time_view:
+        printer("predict_genome phase timing:")
+        loop = phases.get("device loop + flushes", 0.0)
+        comp = phases.get("first step (compile)", 0.0)
+        phases["device loop + flushes"] = loop - comp
+        for name, dt in phases.items():
+            printer(f"  {name:<28s} {dt:8.2f}s")
     printer(f"genome-wide predict: {total:,} sites in "
-            f"{time.time() - t0:.1f}s = {rate:,.0f} sites/s")
+            f"{time.time() - t0:.1f}s = {rate:,.0f} sites/s "
+            f"({opts.n_workers} postprocess workers)")
     return total

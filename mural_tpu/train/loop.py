@@ -84,13 +84,11 @@ def split_segments_like_torch(n_segments: int, valid_ratio: float,
     first chunk = train, second = valid, valid indices sorted."""
     valid_size = int(n_segments * valid_ratio)
     train_size = n_segments - valid_size
-    try:
-        import torch
-        g = torch.Generator().manual_seed(split_seed)
-        perm = torch.randperm(n_segments, generator=g).tolist()
-    except ImportError:
-        perm = np.random.default_rng(split_seed).permutation(
-            n_segments).tolist()
+    # bit-exact torch.randperm stream without torch (utils/torch_rng.py,
+    # verified against torch in tests) -- the same seed yields the same
+    # split in every environment
+    from mural_tpu.utils.torch_rng import torch_randperm
+    perm = torch_randperm(n_segments, split_seed).tolist()
     train_ids = np.asarray(perm[:train_size])
     valid_ids = np.sort(np.asarray(perm[train_size:train_size + valid_size]))
     return train_ids, valid_ids

@@ -1,0 +1,137 @@
+"""Postprocess farm + native TSV formatter tests (CPU)."""
+import gzip
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _chunk(rng, n=500, chrom="chr1"):
+    pos = np.sort(rng.integers(0, 1_000_000, n))
+    neg = rng.random(n) < 0.5
+    logits = rng.normal(size=(n, 4)).astype(np.float32)
+    return chrom, pos, neg, logits
+
+
+def test_format_pred_tsv_native_matches_fallback(rng):
+    from mural_tpu import native
+    pos = np.sort(rng.integers(0, 10**9, 300))
+    neg = rng.random(300) < 0.5
+    probs = rng.dirichlet([1.0] * 4, size=300)
+    # include extreme magnitudes that force %g exponent notation
+    probs[0] = [1e-12, 1 - 3e-12, 1e-12, 1e-12]
+    got = native.format_pred_tsv("chrX", pos, neg, probs)
+    lines = got.decode().splitlines()
+    assert len(lines) == 300
+    first = lines[0].split("\t")
+    assert first[0] == "chrX"
+    assert int(first[2]) == int(first[1]) + 1
+    assert first[3] in "+-"
+    # numeric %.4g parity with python's %-formatting
+    for j in range(4):
+        assert first[4 + j] == "%.4g" % probs[0, j]
+    # pure-numpy fallback produces identical bytes
+    from mural_tpu.genome import encode  # noqa: F401 (import side effects)
+    import mural_tpu.native as nat
+    if nat.available():
+        n_, k_ = probs.shape
+        cols = [np.full(n_, "chrX"), pos.astype(str),
+                (pos + 1).astype(str), np.where(neg, "-", "+")]
+        cols += [np.char.mod("%.4g", probs[:, j]) for j in range(k_)]
+        rows = cols[0]
+        for c in cols[1:]:
+            rows = np.char.add(np.char.add(rows, "\t"), c)
+        assert got == ("\n".join(rows) + "\n").encode()
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_farm_inline_roundtrip(tmp_path, rng, gz):
+    from mural_tpu.predict.post_farm import PostprocessFarm
+    out = str(tmp_path / ("o.tsv.gz" if gz else "o.tsv"))
+    farm = PostprocessFarm(out, ["chrom", "start", "end", "strand",
+                                 "prob0", "prob1", "prob2", "prob3"])
+    chunks = [_chunk(rng), _chunk(rng, chrom="chr2"), _chunk(rng, n=17)]
+    for c in chunks:
+        farm.submit(*c)
+    total = farm.close()
+    assert total == sum(len(c[1]) for c in chunks)
+    df = pd.read_csv(out, sep="\t")
+    assert len(df) == total
+    assert list(df.chrom.unique()) == ["chr1", "chr2"]
+    probs = df[[f"prob{i}" for i in range(4)]].to_numpy()
+    assert np.allclose(probs.sum(axis=1), 1.0, atol=5e-3)
+
+
+def test_farm_workers_byte_identical(tmp_path, rng):
+    """n_workers>0 output must be byte-identical to the inline path
+    (ordering restored by sequence number; each chunk its own gzip
+    member, so only decompressed bytes are compared)."""
+    from mural_tpu.predict.post_farm import PostprocessFarm
+    chunks = [_chunk(rng, n=64 + i, chrom=f"chr{1 + i % 3}")
+              for i in range(12)]
+    cols = ["chrom", "start", "end", "strand",
+            "prob0", "prob1", "prob2", "prob3"]
+
+    inline = str(tmp_path / "inline.tsv.gz")
+    farm = PostprocessFarm(inline, cols)
+    for c in chunks:
+        farm.submit(*c)
+    n_inline = farm.close()
+
+    fanned = str(tmp_path / "fanned.tsv.gz")
+    farm = PostprocessFarm(fanned, cols, n_workers=2)
+    for c in chunks:
+        farm.submit(*c)
+    n_fan = farm.close()
+
+    assert n_fan == n_inline
+    with gzip.open(inline, "rb") as fh:
+        a = fh.read()
+    with gzip.open(fanned, "rb") as fh:
+        b = fh.read()
+    assert a == b
+
+
+class Boom:
+    def predict_proba(self, p):
+        raise RuntimeError("boom")
+
+
+def test_farm_worker_error_propagates(tmp_path, rng):
+    from mural_tpu.predict.post_farm import PostprocessFarm
+
+    farm = PostprocessFarm(str(tmp_path / "e.tsv.gz"),
+                           ["chrom", "start", "end", "strand", "p0"],
+                           calibrator=Boom(), n_workers=1)
+    chrom, pos, neg, logits = _chunk(rng, n=8)
+    farm.submit(chrom, pos, neg, logits)
+    with pytest.raises(RuntimeError, match="postprocess worker failed"):
+        farm.close()
+
+
+def test_farm_calibrated_matches_direct(tmp_path, rng):
+    """Farm output equals direct softmax->calibrator->format."""
+    from mural_tpu import native
+    from mural_tpu.calibrate.dirichlet import FullDirichletCalibrator
+    from mural_tpu.predict.post_farm import PostprocessFarm
+
+    probs_fit = rng.dirichlet([2.0] * 4, size=400)
+    y_fit = rng.integers(0, 4, 400)
+    cal = FullDirichletCalibrator().fit(probs_fit, y_fit)
+
+    chrom, pos, neg, logits = _chunk(rng, n=200)
+    out = str(tmp_path / "c.tsv")
+    farm = PostprocessFarm(out, ["chrom", "start", "end", "strand",
+                                 "prob0", "prob1", "prob2", "prob3"],
+                           calibrator=cal)
+    farm.submit(chrom, pos, neg, logits)
+    farm.close()
+
+    lg = logits.astype(np.float64)
+    e = np.exp(lg - lg.max(axis=1, keepdims=True))
+    p = e / e.sum(axis=1, keepdims=True)
+    expect = native.format_pred_tsv(chrom, pos, neg, cal.predict_proba(p))
+    with open(out, "rb") as fh:
+        fh.readline()  # header
+        assert fh.read() == expect

@@ -1,0 +1,174 @@
+"""Genome-scale track backend tests (two-level prefix sums).
+
+VERDICT round-1 gap: the old design held whole-chromosome float64
+cumsums (~25 GB/track for human) and looped per site in Python.  The new
+backend must answer 10M-site mean queries in seconds with bounded RAM.
+"""
+import os
+import time
+
+import numpy as np
+import pytest
+
+
+def _brute_mean(values, start, stop):
+    n = len(values)
+    lo, hi = max(start, 0), min(stop, n)
+    if hi <= lo:
+        return 0.0
+    return values[lo:hi].mean()
+
+
+def test_from_values_matches_brute_force(rng):
+    from mural_tpu.genome.tracks import PrefixTrack
+    n = 10_000
+    vals = rng.normal(size=n) * 10
+    tr = PrefixTrack.from_values({"c": vals})
+    starts = rng.integers(-50, n + 50, 200)
+    stops = starts + rng.integers(0, 300, 200)
+    got = tr.mean_ranges("c", starts, stops)
+    for i in range(200):
+        assert got[i] == pytest.approx(
+            _brute_mean(vals, starts[i], stops[i]), rel=1e-5, abs=1e-6)
+
+
+def test_from_intervals_straddles_build_chunks(rng):
+    """Intervals crossing block and build-chunk boundaries must sum
+    exactly like the dense path."""
+    import mural_tpu.genome.tracks as T
+    old_chunk = T._BUILD_CHUNK
+    T._BUILD_CHUNK = T._K  # force many chunks
+    try:
+        n = T._K * 7 + 123
+        starts = np.sort(rng.integers(0, n - 1, 300))
+        ends = np.minimum(starts + rng.integers(1, 3 * T._K, 300), n)
+        vals = rng.normal(size=300)
+        dense = np.zeros(n)
+        for s, e, v in zip(starts, ends, vals):
+            dense[s:e] += v  # additive overlap semantics
+        tr_i = T.PrefixTrack.from_intervals({"c": (starts, ends, vals)})
+        tr_d = T.PrefixTrack.from_values({"c": dense})
+        q_lo = rng.integers(0, n, 500)
+        q_hi = q_lo + rng.integers(0, 2 * T._K, 500)
+        a = tr_i.mean_ranges("c", q_lo, q_hi)
+        b = tr_d.mean_ranges("c", q_lo, q_hi)
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+    finally:
+        T._BUILD_CHUNK = old_chunk
+
+
+def test_ten_million_site_query_fast(rng, tmp_path):
+    """10M mean queries over a 50 Mb synthetic bedGraph track in
+    seconds, served from a memmapped cache."""
+    import pandas as pd
+    from mural_tpu.genome.tracks import PrefixTrack, TrackSet
+    n = 50_000_000
+    n_iv = 100_000
+    s = np.sort(rng.integers(0, n - 500, n_iv))
+    e = np.minimum(s + rng.integers(1, 500, n_iv), n)
+    v = rng.random(n_iv).astype(np.float32)
+    bg = tmp_path / "big.bedGraph"
+    pd.DataFrame({"c": "chr1", "s": s, "e": e, "v": v}).to_csv(
+        bg, sep="\t", header=False, index=False)
+
+    t0 = time.time()
+    tr = PrefixTrack.load(str(bg))
+    build_s = time.time() - t0
+    # cache exists and reloads memmapped
+    assert os.path.exists(str(bg) + ".mural_cache/meta.json")
+    tr2 = PrefixTrack.load(str(bg))
+    assert isinstance(tr2.chroms["chr1"][1], np.memmap)
+
+    sites = rng.integers(0, n, 10_000_000)
+    t0 = time.time()
+    got = tr.mean_ranges("chr1", sites - 100, sites + 101)
+    query_s = time.time() - t0
+    assert query_s < 30, f"10M-site query took {query_s:.1f}s"
+    assert np.isfinite(got).all()
+    # spot-check 20 sites against brute force on reconstructed values
+    dense = np.zeros(2048 * 64, dtype=np.float64)
+    lo_win = 1_000_000
+    sel = (s < lo_win + len(dense)) & (e > lo_win)
+    for si, ei, vi in zip(s[sel], e[sel], v[sel]):
+        a, b = max(si - lo_win, 0), min(ei - lo_win, len(dense))
+        dense[a:b] += vi
+    probe = rng.integers(lo_win + 200, lo_win + len(dense) - 200, 20)
+    pm = tr.mean_ranges("chr1", probe - 100, probe + 101)
+    for i, p in enumerate(probe):
+        a = p - lo_win
+        assert pm[i] == pytest.approx(dense[a - 100:a + 101].mean(),
+                                      rel=1e-4, abs=1e-6)
+    # RAM-bounded structure: blocks are ~n/4096 float64
+    bp = tr.chroms["chr1"][0]
+    assert bp.nbytes < 2 * (n // 4096 + 2) * 8
+    print(f"build {build_s:.1f}s, 10M query {query_s:.1f}s")
+
+
+def test_native_track_mean_matches_numpy_path(rng, monkeypatch):
+    """The C++ one-pass kernel and the vectorized numpy fallback must
+    agree exactly (same float64 arithmetic)."""
+    from mural_tpu.genome.tracks import PrefixTrack
+    n = 30_000
+    vals = rng.normal(size=n)
+    tr = PrefixTrack.from_values({"c": vals})
+    starts = rng.integers(-200, n + 200, 5000)
+    stops = starts + rng.integers(0, 9000, 5000)
+    native_out = tr.mean_ranges("c", starts, stops)
+    import mural_tpu.native as nat
+    monkeypatch.setattr(nat, "track_mean", lambda *a, **k: None)
+    np_out = tr.mean_ranges("c", starts, stops)
+    np.testing.assert_array_equal(native_out, np_out)
+
+
+def test_cache_staleness(tmp_path, rng):
+    from mural_tpu.genome.tracks import PrefixTrack
+    bg = tmp_path / "t.bedGraph"
+    bg.write_text("chr1\t0\t100\t2.0\n")
+    tr = PrefixTrack.load(str(bg))
+    assert tr.mean("chr1", 0, 100) == pytest.approx(2.0)
+    # rewrite with different content + mtime -> cache must regenerate
+    time.sleep(0.02)
+    bg.write_text("chr1\t0\t100\t5.0\nchr1\t100\t200\t1.0\n")
+    os.utime(bg, (time.time() + 5, time.time() + 5))
+    tr2 = PrefixTrack.load(str(bg))
+    assert tr2.mean("chr1", 0, 100) == pytest.approx(5.0)
+
+
+def test_window_values_per_base(rng):
+    from mural_tpu.genome.tracks import PrefixTrack
+    n = 5000
+    vals = rng.normal(size=n).astype(np.float64)
+    tr = PrefixTrack.from_values({"c": vals})
+    starts = np.array([-3, 0, 100, n - 5])
+    w = 9
+    got = tr.window_values("c", starts, w)
+    assert got.shape == (4, w)
+    for i, s in enumerate(starts):
+        for j in range(w):
+            p = s + j
+            expect = vals[p] if 0 <= p < n else 0.0
+            assert got[i, j] == pytest.approx(expect, rel=1e-4,
+                                              abs=1e-5)
+    # negative-strand rows come back reversed
+    neg = np.array([False, True, False, False])
+    got_n = tr.window_values("c", starts, w, neg)
+    np.testing.assert_allclose(got_n[1], got[1][::-1])
+    np.testing.assert_allclose(got_n[0], got[0])
+
+
+def test_trackset_distal_windows(rng, tmp_path):
+    from mural_tpu.genome.tracks import PrefixTrack, TrackSet
+    np.save(tmp_path / "a.npy", rng.random(1000))
+    vals_a = np.load(tmp_path / "a.npy")
+    vals_b = rng.random(1000)
+    np.savez(tmp_path / "t1.npz", chr1=vals_a)
+    np.savez(tmp_path / "t2.npz", chr1=vals_b)
+    ts = TrackSet([str(tmp_path / "t1.npz"), str(tmp_path / "t2.npz")],
+                  ["a", "b"], [5, 5])
+    starts = np.array([10, 500])
+    out = ts.distal_windows("chr1", starts, 11)
+    assert out.shape == (2, 11, 2)
+    # per-base reconstruction diffs float32 in-block partial sums:
+    # ~1e-4 absolute precision (negligible for coverage-style tracks)
+    np.testing.assert_allclose(out[0, :, 0], vals_a[10:21], atol=1e-3)
+    np.testing.assert_allclose(out[1, :, 1], vals_b[500:511], atol=1e-3)
