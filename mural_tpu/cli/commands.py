@@ -135,9 +135,12 @@ def _data_args(p, require_train=True):
     g.add_argument("--seq_only", default=False, action="store_true",
                    help="Use only genomic sequence, ignore tracks.")
     g.add_argument("--with_h5", default=False, action="store_true",
-                   help=argparse.SUPPRESS)
-    g.add_argument("--h5f_path", type=str, default=None,
-                   help=argparse.SUPPRESS)
+                   help="Use the on-disk site-table cache (the "
+                        "reference's H5 pre-encoding analogue; windows "
+                        "are still encoded on the fly from uint8 codes).")
+    g.add_argument("--h5f_path", type=str, metavar="FILE", default=None,
+                   help="Site-table cache path. Default: derived from "
+                        "the training data path.")
     g.add_argument("--n_h5_files", type=int, metavar="INT", default=1,
                    help=argparse.SUPPRESS)
     g.add_argument("--save_valid_preds", default=False,
@@ -289,9 +292,12 @@ def add_predict_parser(subparsers, model_type: str):
                      action="store_true",
                      help="Log fetch/predict timing every 500 batches.")
     opt.add_argument("--with_h5", default=False, action="store_true",
-                     help=argparse.SUPPRESS)
-    opt.add_argument("--h5f_path", type=str, default=None,
-                     help=argparse.SUPPRESS)
+                     help="Use the on-disk site-table cache (see "
+                          "train --with_h5).")
+    opt.add_argument("--h5f_path", type=str, metavar="FILE",
+                     default=None,
+                     help="Site-table cache path. Default: derived "
+                          "from the test data path.")
     opt.add_argument("--cpu_only", default=False, action="store_true",
                      help="Run on CPU instead of TPU.")
     opt.add_argument("--cuda_id", type=str, metavar="STR", default=None,

@@ -33,6 +33,7 @@ class Batch:
     distal: np.ndarray       # (B, W) uint8 genome codes
     n_valid: int
     rows: np.ndarray         # (B,) int64 dataset row ids (-1 for padding)
+    distal_tracks: Optional[np.ndarray] = None  # (B, W, T) float32
 
 
 def segment_pool_batches(ds: SiteDataset, sampled_segments: int,
@@ -66,14 +67,18 @@ def segment_pool_batches(ds: SiteDataset, sampled_segments: int,
         y = ds.y[rows].copy()
         cat = ds.cat[rows].copy()
         distal = ds.gather_distal(rows)
+        dtr = (ds.gather_distal_track_values(rows)
+               if ds.distal_tracks is not None else None)
         out_rows = rows.copy()
         if n_valid < len(rows):
             y[n_valid:] = 0
             cat[n_valid:] = 0
             distal[n_valid:] = 0
+            if dtr is not None:
+                dtr[n_valid:] = 0
             out_rows[n_valid:] = -1
         return Batch(y=y, cat=cat, cont=cont, distal=distal,
-                     n_valid=n_valid, rows=out_rows)
+                     n_valid=n_valid, rows=out_rows, distal_tracks=dtr)
 
     for pool_start in range(0, n_seg, sampled_segments):
         segs = seg_order[pool_start:pool_start + sampled_segments]

@@ -129,8 +129,13 @@ def prepare_dataset_cached(bed_file: str, genome, central_bp: int,
                            local_radius: int, local_order: int,
                            distal_radius: int, model_type: str,
                            cache_dir: Optional[str] = None, tracks=None,
-                           seq_only: bool = False, printer=print):
-    """prepare_dataset with a read-through cache (the --with_h5 path)."""
+                           seq_only: bool = False, printer=print,
+                           bw_distal: bool = False):
+    """prepare_dataset with a read-through cache (the --with_h5 path).
+
+    Per-base distal track values are never cached (they are gathered
+    on demand per batch); the cache only has to re-attach the TrackSet
+    handle on load."""
     from mural_tpu.data.dataset import prepare_dataset
     from mural_tpu.genome.fasta import Genome
     if isinstance(genome, str):
@@ -140,14 +145,17 @@ def prepare_dataset_cached(bed_file: str, genome, central_bp: int,
                       tracks=tracks, seq_only=seq_only)
     if is_cache_fresh(path, bed_file):
         printer("using cached site encodings:", path)
-        return load_dataset_cache(path, genome, central_bp, local_radius,
-                                  local_order, distal_radius)
+        ds = load_dataset_cache(path, genome, central_bp, local_radius,
+                                local_order, distal_radius)
+        if bw_distal and tracks is not None and len(tracks) > 0:
+            ds.distal_tracks = tracks
+        return ds
     ds = prepare_dataset(bed_file, genome, central_bp=central_bp,
                          local_radius=local_radius,
                          local_order=local_order,
                          distal_radius=distal_radius,
                          model_type=model_type, tracks=tracks,
-                         seq_only=seq_only)
+                         seq_only=seq_only, bw_distal=bw_distal)
     try:
         save_dataset_cache(ds, path)
         printer("wrote site-encoding cache:", path)

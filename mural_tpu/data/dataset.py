@@ -51,6 +51,13 @@ class SiteDataset:
     # segment structure
     seg_offsets: np.ndarray         # int64 (n_segments + 1,)
 
+    # per-base distal track channels (the capability the reference's
+    # training.py:258-260 promises -- in_channels = 4**distal_order +
+    # n_cont -- but its NP pipeline never delivers, PARITY.md): a
+    # TrackSet whose per-base values are appended to the one-hot window
+    # as extra channels on device
+    distal_tracks: Optional[object] = None
+
     extras: Dict = field(default_factory=dict)
 
     # ------------------------------------------------------------------
@@ -79,6 +86,10 @@ class SiteDataset:
     def distal_width(self) -> int:
         return enc.window_size(self.distal_radius, 1, self.model_type)
 
+    @property
+    def n_distal_tracks(self) -> int:
+        return 0 if self.distal_tracks is None else len(self.distal_tracks)
+
     def segment_rows(self, seg: int) -> np.ndarray:
         return np.arange(self.seg_offsets[seg], self.seg_offsets[seg + 1])
 
@@ -100,6 +111,25 @@ class SiteDataset:
             m = cids == cid
             out[m] = native.gather_windows(self.chrom_codes[cid],
                                            starts[m], width, neg[m])
+        return out
+
+    def gather_distal_track_values(self, rows: np.ndarray) -> np.ndarray:
+        """(len(rows), distal_width, n_distal_tracks) float32 per-base
+        track values over the distal windows; reverse-strand rows come
+        back reversed so they stay aligned with the reverse-complemented
+        one-hot (genome/tracks.py window_values)."""
+        rows = np.asarray(rows)
+        width = self.distal_width
+        out = np.empty((len(rows), width, self.n_distal_tracks),
+                       dtype=np.float32)
+        starts = enc.expanded_start(self.start[rows], self.distal_radius,
+                                    self.model_type)
+        cids = self.chrom_id[rows]
+        neg = self.strand_neg[rows]
+        for cid in np.unique(cids):
+            m = cids == cid
+            out[m] = self.distal_tracks.distal_windows(
+                self.chrom_names[cid], starts[m], width, neg[m])
         return out
 
     def local_frame(self):
@@ -151,6 +181,7 @@ class SiteDataset:
             cat=self.cat[rows],
             cont=None if self.cont is None else self.cont[rows],
             seg_offsets=offsets,
+            distal_tracks=self.distal_tracks,
         )
 
 
@@ -159,12 +190,16 @@ def prepare_dataset(bed: "BedFile | str", genome: "Genome | str",
                     local_order: int = 3, distal_radius: int = 200,
                     distal_order: int = 1, model_type: str = "snv",
                     tracks=None, seq_only: bool = False,
-                    check_mid: bool = True) -> SiteDataset:
+                    check_mid: bool = True,
+                    bw_distal: bool = False) -> SiteDataset:
     """Build a :class:`SiteDataset` (ref ``prepare_dataset_np``).
 
     ``tracks`` is an optional :class:`mural_tpu.genome.tracks.TrackSet`
     supplying continuous local features (the reference's mean-bigWig
-    columns, preprocessing.py:725-750).
+    columns, preprocessing.py:725-750).  With ``bw_distal`` the same
+    tracks additionally provide per-base distal channels
+    (in_channels = 4**distal_order + n_cont, training.py:258-260 --
+    working here, unlike the reference).
     """
     if isinstance(bed, str):
         bed = BedFile.read(bed)
@@ -241,4 +276,7 @@ def prepare_dataset(bed: "BedFile | str", genome: "Genome | str",
         cat=cat.astype(np.int32),
         cont=cont,
         seg_offsets=seg_offsets,
+        distal_tracks=(tracks if (bw_distal and tracks is not None
+                                  and not seq_only and len(tracks) > 0)
+                       else None),
     )

@@ -20,9 +20,11 @@ from mural_tpu.data.batcher import Batch
 
 
 class DeviceBatch:
-    __slots__ = ("y", "cat", "cont", "distal", "mask", "n_valid", "rows")
+    __slots__ = ("y", "cat", "cont", "distal", "mask", "n_valid", "rows",
+                 "distal_tracks")
 
-    def __init__(self, y, cat, cont, distal, mask, n_valid, rows):
+    def __init__(self, y, cat, cont, distal, mask, n_valid, rows,
+                 distal_tracks=None):
         self.y = y
         self.cat = cat
         self.cont = cont
@@ -30,6 +32,7 @@ class DeviceBatch:
         self.mask = mask
         self.n_valid = n_valid
         self.rows = rows
+        self.distal_tracks = distal_tracks
 
 
 def to_device(batch: Batch, device=None, sharding=None) -> DeviceBatch:
@@ -45,6 +48,8 @@ def to_device(batch: Batch, device=None, sharding=None) -> DeviceBatch:
         mask=put(mask),
         n_valid=batch.n_valid,
         rows=batch.rows,
+        distal_tracks=(None if batch.distal_tracks is None
+                       else put(batch.distal_tracks)),
     )
 
 

@@ -23,12 +23,15 @@ from mural_tpu.train.steps import make_eval_step
 
 
 def sharded_predict(model, params, batch_stats, ds, batch_size: int,
-                    n_devices: int) -> Tuple[np.ndarray, float]:
+                    n_devices: int,
+                    eval_step=None) -> Tuple[np.ndarray, float]:
     """Run prediction over ``ds`` with batches sharded over a mesh.
 
     ``batch_size`` is rounded up to a multiple of ``n_devices`` so every
     shard is equal; padding rows are masked out of the loss and dropped
-    from the outputs.
+    from the outputs.  ``eval_step`` overrides the standard jitted step
+    (e.g. the BN-folded fused forward); it must have make_eval_step's
+    signature.
     """
     mesh = make_mesh(n_devices)
     data_s = batch_sharding(mesh)
@@ -37,7 +40,8 @@ def sharded_predict(model, params, batch_stats, ds, batch_size: int,
     per = -(-batch_size // n_devices)
     eff_batch = per * n_devices
 
-    eval_step = make_eval_step(model)
+    if eval_step is None:
+        eval_step = make_eval_step(model)
 
     params = jax.device_put(params, rep)
     batch_stats = jax.device_put(batch_stats, rep)
@@ -49,7 +53,8 @@ def sharded_predict(model, params, batch_stats, ds, batch_size: int,
                                    pad_final=True)
     for db in prefetch(batches, size=2, sharding=data_s):
         logits, loss = eval_step(params, batch_stats, db.y, db.cat,
-                                 db.cont, db.distal, db.mask)
+                                 db.cont, db.distal, db.mask,
+                                 db.distal_tracks)
         parts.append(logits)
         n_valids.append(db.n_valid)
         loss_dev = loss_dev + loss

@@ -56,12 +56,15 @@ class PredictOptions:
 def build_model_from_config(config: Dict, n_cont: int, model_type: str):
     """run_predict.py:166-181: in_channels and the common config dict.
 
-    in_channels is always 4**distal_order: the reference formally adds
-    n_cont when bigWig distal channels are requested, but its data
-    pipeline only ever produces 4 channels, so any such training run
-    crashes before a checkpoint exists (PARITY.md, "distal bigWig
-    channels") -- no rehydratable checkpoint can carry extra channels."""
-    in_channels = 4 ** config.get("distal_order", 1)
+    in_channels = 4**distal_order + n_cont when the checkpoint was
+    trained with per-base distal track channels (the reference promises
+    this at training.py:258-260 but its pipeline cannot deliver it --
+    here it works; reference torch checkpoints always carry plain 4)."""
+    bw_distal = (n_cont > 0
+                 and not config.get("without_bw_distal", False)
+                 and not config.get("seq_only", False))
+    in_channels = (4 ** config.get("distal_order", 1)
+                   + (n_cont if bw_distal else 0))
     common = {
         "emb_dims": config["emb_dims"],
         "n_cont": n_cont,
@@ -91,6 +94,9 @@ def run_predict(opts: PredictOptions, model_type: str = "snv",
         if files:
             tracks = TrackSet(files, names, radii)
 
+    bw_distal = (tracks is not None
+                 and not config.get("without_bw_distal", False)
+                 and not seq_only)
     genome = Genome.from_fasta(opts.ref_genome)
     ds = prepare_dataset(
         opts.test_data, genome, central_bp=segment_center,
@@ -98,8 +104,16 @@ def run_predict(opts: PredictOptions, model_type: str = "snv",
         local_order=config["local_order"],
         distal_radius=config["distal_radius"],
         distal_order=config.get("distal_order", 1),
-        model_type=model_type, tracks=tracks, seq_only=seq_only)
+        model_type=model_type, tracks=tracks, seq_only=seq_only,
+        bw_distal=bw_distal)
     printer("test set preprocess time:", time.time() - start_time)
+
+    ckpt_n_cont = config.get("n_cont")
+    if ckpt_n_cont is not None and ckpt_n_cont != ds.n_cont:
+        raise ValueError(
+            f"checkpoint was trained with n_cont={ckpt_n_cont} track "
+            f"feature(s) but predict got {ds.n_cont} -- pass the same "
+            "--bw_paths track list used for training")
 
     model = build_model_from_config(config, ds.n_cont, model_type)
 
@@ -131,7 +145,8 @@ def run_predict(opts: PredictOptions, model_type: str = "snv",
         k_stem = config["CNN_kernel_size"]
 
         @jax.jit
-        def eval_step(p_, bs_, y, cat, cont, distal_codes, mask):
+        def eval_step(p_, bs_, y, cat, cont, distal_codes, mask,
+                      distal_tracks=None):
             logits = snv2_fused_forward(folded, cat, distal_codes,
                                         k=k_stem)
             return logits, masked_ce_sum(logits, y, mask)
@@ -140,7 +155,8 @@ def run_predict(opts: PredictOptions, model_type: str = "snv",
         from mural_tpu.parallel.sharded_predict import sharded_predict
         logits, total_loss = sharded_predict(
             model, params, batch_stats, ds, opts.pred_batch_size,
-            opts.n_devices)
+            opts.n_devices,
+            eval_step=eval_step if use_fused else None)
     else:
         import jax.numpy as jnp
         if not use_fused:
@@ -159,7 +175,8 @@ def run_predict(opts: PredictOptions, model_type: str = "snv",
             t_fetch += time.time() - t0
             t1 = time.time()
             lg, loss = eval_step(params, batch_stats, db.y, db.cat,
-                                 db.cont, db.distal, db.mask)
+                                 db.cont, db.distal, db.mask,
+                                 db.distal_tracks)
             parts.append(lg)
             n_valids.append(db.n_valid)
             loss_dev = loss_dev + loss

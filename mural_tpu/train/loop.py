@@ -100,7 +100,8 @@ def _variable_shapes(model, ds: SiteDataset):
     cat = jax.ShapeDtypeStruct((2, ds.cat.shape[1]), jnp.int32)
     cont = (jax.ShapeDtypeStruct((2, ds.n_cont), jnp.float32)
             if ds.n_cont else None)
-    distal = jax.ShapeDtypeStruct((2, ds.distal_width, 4), jnp.float32)
+    distal = jax.ShapeDtypeStruct(
+        (2, ds.distal_width, 4 + ds.n_distal_tracks), jnp.float32)
     key = jax.ShapeDtypeStruct((2,), jnp.uint32)
     return jax.eval_shape(
         lambda k, c, co, d: model.init(k, c, co, d, False),
@@ -184,6 +185,12 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     else:
         printer("NOTE: no bigWig files provided.")
 
+    # per-base distal track channels: on by default when tracks are
+    # given, off with --without_bw_distal (ref training.py:258-260 --
+    # the reference promises this but its pipeline cannot deliver it)
+    bw_distal = (tracks is not None and not opts.without_bw_distal
+                 and not opts.seq_only)
+
     # --- datasets ------------------------------------------------------
     genome = Genome.from_fasta(opts.ref_genome)
     step_t = time.time()
@@ -194,7 +201,8 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             config["local_radius"], config["local_order"],
             config["distal_radius"], model_type,
             cache_dir=opts.h5f_path, tracks=tracks,
-            seq_only=opts.seq_only, printer=printer)
+            seq_only=opts.seq_only, printer=printer,
+            bw_distal=bw_distal)
     else:
         ds = prepare_dataset(
             opts.train_data, genome, central_bp=config["segment_center"],
@@ -202,7 +210,7 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             local_order=config["local_order"],
             distal_radius=config["distal_radius"],
             distal_order=opts.distal_order, model_type=model_type,
-            tracks=tracks, seq_only=opts.seq_only)
+            tracks=tracks, seq_only=opts.seq_only, bw_distal=bw_distal)
     printer("training set preprocess used time:", time.time() - step_t)
 
     if opts.validation_data:
@@ -215,7 +223,7 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             local_order=config["local_order"],
             distal_radius=config["distal_radius"],
             distal_order=opts.distal_order, model_type=model_type,
-            tracks=tracks, seq_only=opts.seq_only)
+            tracks=tracks, seq_only=opts.seq_only, bw_distal=bw_distal)
     else:
         split_seed = (opts.split_seed if opts.split_seed is not None
                       else np.random.randint(0, 10000))
@@ -241,7 +249,17 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
                               for x in cat_dims]
 
     n_cont = ds.n_cont
-    in_channels = 4 ** opts.distal_order
+    if (config.get("transfer_learning")
+            and config.get("n_cont") is not None
+            and config["n_cont"] != n_cont):
+        raise ValueError(
+            f"pretrained checkpoint used n_cont={config['n_cont']} track "
+            f"feature(s) but this run provides {n_cont} -- pass the same "
+            "--bw_paths track list used for pretraining")
+    config["n_cont"] = n_cont    # predict/transfer rehydrate from this
+    # in_channels = 4**distal_order + n_cont with distal track channels
+    # (training.py:258-260), else 4**distal_order
+    in_channels = 4 ** opts.distal_order + (n_cont if bw_distal else 0)
     common = {
         "emb_dims": config["emb_dims"],
         "n_cont": n_cont,
@@ -351,7 +369,8 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             batch_count += 1
             t1 = time.time()
             state, loss, lr = train_step(state, db.y, db.cat, db.cont,
-                                         db.distal, db.mask, base_rng)
+                                         db.distal, db.mask, base_rng,
+                                         db.distal_tracks)
             total_loss_dev = total_loss_dev + loss
             train_t += time.time() - t1
             if batch_count % 1000 == 0:
@@ -378,7 +397,7 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
                            sharding=batch_sharding_):
             logits, vloss = eval_step(state.params, state.batch_stats,
                                       db.y, db.cat, db.cont, db.distal,
-                                      db.mask)
+                                      db.mask, db.distal_tracks)
             vloss_dev = vloss_dev + vloss
             logits_parts.append(logits)
             n_valids.append(db.n_valid)

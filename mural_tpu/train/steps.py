@@ -31,8 +31,14 @@ def masked_ce_sum(logits, y, mask):
 
 
 def _forward(model, params, batch_stats, cat, cont, distal_codes, train,
-             dropout_rng=None):
+             dropout_rng=None, distal_tracks=None):
     distal = one_hot_from_codes(distal_codes)
+    if distal_tracks is not None:
+        # per-base track values appended as extra distal channels
+        # (in_channels = 4**distal_order + n_cont, the working version
+        # of the reference's training.py:258-260 promise)
+        distal = jnp.concatenate(
+            [distal, distal_tracks.astype(distal.dtype)], axis=-1)
     variables = {"params": params, "batch_stats": batch_stats}
     if train:
         out, mut = model.apply(variables, cat, cont, distal, True,
@@ -45,13 +51,14 @@ def _forward(model, params, batch_stats, cat, cont, distal_codes, train,
 def make_train_step(model, donate: bool = True):
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, y, cat, cont, distal_codes, mask,
-                   base_rng):
+                   base_rng, distal_tracks=None):
         lr = state.lr()
         rng = jax.random.fold_in(base_rng, state.step)
 
         def loss_fn(params):
             logits, new_stats = _forward(model, params, state.batch_stats,
-                                         cat, cont, distal_codes, True, rng)
+                                         cat, cont, distal_codes, True,
+                                         rng, distal_tracks)
             loss = masked_ce_sum(logits, y, mask)
             return loss, new_stats
 
@@ -71,9 +78,11 @@ def make_train_step(model, donate: bool = True):
 
 def make_eval_step(model):
     @jax.jit
-    def eval_step(params, batch_stats, y, cat, cont, distal_codes, mask):
+    def eval_step(params, batch_stats, y, cat, cont, distal_codes, mask,
+                  distal_tracks=None):
         logits, _ = _forward(model, params, batch_stats, cat, cont,
-                             distal_codes, False)
+                             distal_codes, False,
+                             distal_tracks=distal_tracks)
         loss = masked_ce_sum(logits, y, mask)
         return logits, loss
 

@@ -36,6 +36,50 @@ def test_parallel_trials_across_devices(tiny_genome, tiny_bed, tmp_path):
 
 
 @needs8
+def test_fused_inference_sharded(tiny_genome, tiny_bed, tmp_path):
+    """--fused_inference must thread into the sharded (n_devices>1)
+    predict path and agree with the unsharded fused run (ADVICE round-1:
+    it was silently ignored)."""
+    import pandas as pd
+
+    from mural_tpu.predict.pipeline import PredictOptions, run_predict
+    from mural_tpu.train.loop import TrainOptions, train_trial
+
+    config = dict(
+        local_radius=2, local_order=1, local_dropout=0.0,
+        distal_fc_dropout=0.0, emb_dropout=0.0,
+        local_hidden1_size=8, local_hidden2_size=4,
+        distal_radius=105, segment_center=5000, sampled_segments=4,
+        batch_size=32, optim="Adam", learning_rate=1e-3,
+        lr_scheduler="StepLR", LR_gamma=0.9, weight_decay=0.0,
+        weight_decay_auto=None, restart_lr=1e-4, min_lr=1e-6,
+        CNN_kernel_size=3, CNN_out_channels=4, transfer_learning=False,
+        model_no=2)
+    topts = TrainOptions(train_data=tiny_bed,
+                         ref_genome=tiny_genome["path"], n_class=4,
+                         model_no=2, epochs=1, valid_ratio=0.25,
+                         split_seed=1, trial_dir=str(tmp_path / "t"))
+    train_trial(config, topts, "snv")
+    cdir = tmp_path / "t" / "checkpoint_0"
+
+    outs = {}
+    for n_dev in (1, 8):
+        out = str(tmp_path / f"fp{n_dev}.tsv")
+        popts = PredictOptions(
+            test_data=tiny_bed, ref_genome=tiny_genome["path"],
+            model_path=str(cdir / "model"),
+            model_config_path=str(cdir / "model.config.pkl"),
+            pred_file=out, pred_batch_size=64, n_devices=n_dev,
+            fused_inference=True)
+        run_predict(popts, "snv", printer=lambda *a: None)
+        outs[n_dev] = pd.read_csv(out, sep="\t")
+    p1 = outs[1][[f"prob{i}" for i in range(4)]].to_numpy()
+    p8 = outs[8][[f"prob{i}" for i in range(4)]].to_numpy()
+    assert len(p1) == len(p8) and len(p1) > 0
+    assert np.allclose(p1, p8, atol=2e-4)
+
+
+@needs8
 def test_genome_wide_sharded(tiny_genome, tiny_bed, tmp_path):
     from mural_tpu.train.loop import TrainOptions, train_trial
     from mural_tpu.predict.genome_wide import (GenomePredictOptions,
