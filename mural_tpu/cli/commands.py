@@ -64,6 +64,10 @@ def _learning_args(p, lr_default):
                    help="Gamma of the LR scheduler. Default: 0.9.")
     g.add_argument("--cudnn_benchmark_false", default=False,
                    action="store_true", help=argparse.SUPPRESS)
+    g.add_argument("--bf16", default=False, action="store_true",
+                   help="Single-pass bfloat16 MXU matmuls/convs in the "
+                        "train step (faster; loss trajectory within "
+                        "tolerance of float32).")
     return g
 
 

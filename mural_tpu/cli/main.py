@@ -157,6 +157,7 @@ def _base_train_opts(args, model_type: str):
         h5f_path=getattr(args, "h5f_path", None),
         dp_devices=getattr(args, "dp_devices", 1),
         profile_dir=getattr(args, "profile_dir", None),
+        bf16=getattr(args, "bf16", False),
     )
 
 

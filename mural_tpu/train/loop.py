@@ -75,6 +75,7 @@ class TrainOptions:
     device: Optional[object] = None
     dp_devices: int = 1                # data-parallel mesh size
     profile_dir: Optional[str] = None  # capture a jax profiler trace
+    bf16: bool = False                 # single-pass bf16 MXU matmuls
 
 
 def split_segments_like_torch(n_segments: int, valid_ratio: float,
@@ -312,7 +313,8 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     state = create_train_state(model, variables, config.get("optim", "Adam"),
                                config["weight_decay"], schedule,
                                trainable_mask=trainable_mask)
-    train_step = make_train_step(model)
+    train_step = make_train_step(
+        model, matmul_precision="bfloat16" if opts.bf16 else None)
     eval_step = make_eval_step(model)
     base_rng = jax.random.key(opts.rng_seed)
 
@@ -346,6 +348,104 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     metrics: Dict = {}
     host_rng = np.random.default_rng(opts.rng_seed)
 
+    # ---- overlapped epoch tail ----------------------------------------
+    # Calibration fit + Evaluators + checkpoint write depend only on this
+    # epoch's validation logits and a host snapshot of the params, so
+    # they run on a worker thread while the next epoch trains
+    # (VERDICT round-1 item 6).  One tail at a time: the previous tail is
+    # joined before the next one starts, keeping logs/metrics ordered.
+    import threading
+
+    from mural_tpu.utils.transfer import fetch_packed
+    tail: Dict = {"thread": None, "stop": False, "error": None}
+
+    def _join_tail():
+        if tail["thread"] is not None:
+            tail["thread"].join()
+            tail["thread"] = None
+        if tail["error"] is not None:
+            raise tail["error"]
+
+    def _run_tail(epoch, params_host, stats_host, valid_probs,
+                  total_loss, valid_total_loss):
+        nonlocal metrics, min_loss, min_loss_epoch, after_min_loss
+        try:
+            import pandas as pd
+            valid_y = data_local_valid["mut_type"].to_numpy()
+            fdiri_cal, fdiri_nll = calibrate_prob(
+                valid_probs, valid_y, "FullDiri", printer=printer)
+            prob_cal = fdiri_cal.predict_proba(valid_probs)
+            if opts.poisson_calib or model_type == "indel":
+                prob_poisson = poisson_calibrate(
+                    pd.DataFrame(valid_probs, columns=prob_names))
+
+            ev0 = Evaluator(data_local_valid, valid_probs, opts.n_class,
+                            printer=printer)
+            ev1 = Evaluator(data_local_valid, prob_cal, opts.n_class,
+                            calibra="FullDiri", printer=printer)
+            kmer_list = ([2, 4, 6] if model_type == "indel"
+                         else [3, 5, 7])
+            ev0.evaluate_kmer(kmer_list)
+            ev1.evaluate_kmer(kmer_list)
+            if opts.poisson_calib:
+                evp = Evaluator(data_local_valid,
+                                prob_poisson.to_numpy(), opts.n_class,
+                                calibra="Poisson", printer=printer)
+                evp.evaluate_kmer(kmer_list)
+
+            printer("Training Loss: ", total_loss / max(train_size, 1))
+            printer("Validation Loss: ",
+                    valid_total_loss / max(valid_size, 1))
+            printer("Validation Loss (after fdiri_cal): ", fdiri_nll)
+
+            ev0.evaluate_regional_score(valid_size, kmer_list[:2])
+            ev1.evaluate_regional_score(valid_size, kmer_list[:2])
+            if opts.poisson_calib:
+                evp.evaluate_regional_score(valid_size, kmer_list[:2])
+
+            chr_pos = ds_valid.position_frame()
+            save_path = os.path.join(opts.trial_dir,
+                                     f"checkpoint_{epoch}", "model")
+            os.makedirs(os.path.dirname(save_path), exist_ok=True)
+            ev0.evaluate_regional_corr(
+                chr_pos, save_valid_preds=opts.save_valid_preds,
+                save_path=save_path)
+            ev1.evaluate_regional_corr(chr_pos)
+            if opts.poisson_calib:
+                evp.evaluate_regional_corr(chr_pos)
+
+            save_checkpoint(save_path, params_host, stats_host, config,
+                            fdiri_cal)
+
+            current_loss = valid_total_loss / max(valid_size, 1)
+            if epoch == 0 or current_loss < min_loss:
+                min_loss, min_loss_epoch, after_min_loss = \
+                    current_loss, epoch, 0
+            else:
+                after_min_loss = epoch - min_loss_epoch
+
+            m = {
+                "loss": current_loss,
+                "fdiri_loss": fdiri_nll,
+                "after_min_loss": after_min_loss,
+                "score": ev0.metrics.get("score", float("nan")),
+                "total_params": total_params,
+                "epoch": epoch,
+            }
+            report_path = os.path.join(
+                opts.trial_dir, f"checkpoint_{epoch}",
+                f"epoch_{epoch}_metrics.txt")
+            with open(report_path, "w") as fh:
+                for k, v in m.items():
+                    fh.write(f"{k}: {v}\n")
+            metrics = m
+            if report_fn is not None and report_fn(m) is False:
+                tail["stop"] = True
+                printer("Trial stopped by scheduler")
+        except BaseException as e:   # re-raised on join
+            tail["error"] = e
+            tail["stop"] = True
+
     for epoch in range(opts.epochs):
         epoch_t = time.time()
         # device-side loss accumulator: keeping the scalar on device avoids
@@ -365,6 +465,8 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             jax.profiler.start_trace(opts.profile_dir)
         for db in prefetch(batches, size=2, device=opts.device,
                            sharding=batch_sharding_):
+            if tail["stop"]:      # scheduler stopped us mid-overlap
+                break
             fetch_t += time.time() - t0
             batch_count += 1
             t1 = time.time()
@@ -384,6 +486,7 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             jax.profiler.stop_trace()
             printer("profiler trace written to", opts.profile_dir)
         total_loss = float(total_loss_dev)
+        t_train_done = time.time()
         printer("optimizer learning rate:", float(state.lr()))
 
         # ---- validation (async: device arrays collected, one sync) ---
@@ -407,82 +510,30 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             if logits_parts else np.zeros((0, opts.n_class)))
         e = np.exp(valid_logits - valid_logits.max(axis=1, keepdims=True))
         valid_probs = e / e.sum(axis=1, keepdims=True)
+        t_valid_done = time.time()
 
-        import pandas as pd
-        valid_y = data_local_valid["mut_type"].to_numpy()
-        fdiri_cal, fdiri_nll = calibrate_prob(valid_probs, valid_y,
-                                              "FullDiri", printer=printer)
-        prob_cal = fdiri_cal.predict_proba(valid_probs)
-        if opts.poisson_calib or model_type == "indel":
-            prob_poisson = poisson_calibrate(
-                pd.DataFrame(valid_probs, columns=prob_names))
+        # previous epoch's tail must finish before this epoch's starts
+        _join_tail()
+        if tail["stop"]:
+            break
 
-        ev0 = Evaluator(data_local_valid, valid_probs, opts.n_class,
-                        printer=printer)
-        ev1 = Evaluator(data_local_valid, prob_cal, opts.n_class,
-                        calibra="FullDiri", printer=printer)
-        kmer_list = [2, 4, 6] if model_type == "indel" else [3, 5, 7]
-        ev0.evaluate_kmer(kmer_list)
-        ev1.evaluate_kmer(kmer_list)
-        if opts.poisson_calib:
-            evp = Evaluator(data_local_valid, prob_poisson.to_numpy(),
-                            opts.n_class, calibra="Poisson",
-                            printer=printer)
-            evp.evaluate_kmer(kmer_list)
-
-        printer("Training Loss: ", total_loss / max(train_size, 1))
-        printer("Validation Loss: ", valid_total_loss / max(valid_size, 1))
-        printer("Validation Loss (after fdiri_cal): ", fdiri_nll)
-
-        ev0.evaluate_regional_score(valid_size, kmer_list[:2])
-        ev1.evaluate_regional_score(valid_size, kmer_list[:2])
-        if opts.poisson_calib:
-            evp.evaluate_regional_score(valid_size, kmer_list[:2])
-
-        chr_pos = ds_valid.position_frame()
-        save_path = os.path.join(opts.trial_dir, f"checkpoint_{epoch}",
-                                 "model")
-        os.makedirs(os.path.dirname(save_path), exist_ok=True)
-        ev0.evaluate_regional_corr(
-            chr_pos, save_valid_preds=opts.save_valid_preds,
-            save_path=save_path)
-        ev1.evaluate_regional_corr(chr_pos)
-        if opts.poisson_calib:
-            evp.evaluate_regional_corr(chr_pos)
-
-        save_checkpoint(save_path, state.params, state.batch_stats,
-                        config, fdiri_cal)
+        # host snapshot BEFORE the next epoch's donated train steps
+        # invalidate the buffers; packed fetch = one transfer per dtype
+        params_host = fetch_packed(state.params)
+        stats_host = fetch_packed(state.batch_stats)
+        t_fetch_done = time.time()
 
         current_loss = valid_total_loss / max(valid_size, 1)
-        if epoch == 0 or current_loss < min_loss:
-            min_loss, min_loss_epoch, after_min_loss = \
-                current_loss, epoch, 0
-        else:
-            after_min_loss = epoch - min_loss_epoch
+        tail["thread"] = threading.Thread(
+            target=_run_tail,
+            args=(epoch, params_host, stats_host, valid_probs,
+                  total_loss, valid_total_loss),
+            daemon=True)
+        tail["thread"].start()
 
-        metrics = {
-            "loss": current_loss,
-            "fdiri_loss": fdiri_nll,
-            "after_min_loss": after_min_loss,
-            "score": ev0.metrics.get("score", float("nan")),
-            "total_params": total_params,
-            "epoch": epoch,
-        }
-        report_path = os.path.join(opts.trial_dir, f"checkpoint_{epoch}",
-                                   f"epoch_{epoch}_metrics.txt")
-        with open(report_path, "w") as fh:
-            for k, v in metrics.items():
-                fh.write(f"{k}: {v}\n")
-
-        keep_going = True
-        if report_fn is not None:
-            keep_going = report_fn(metrics) is not False
         es(current_loss)
         if es.early_stop:
             printer("Early stopping")
-            break
-        if not keep_going:
-            printer("Trial stopped by scheduler")
             break
 
         # ROP epoch update (training.py:553-554)
@@ -491,9 +542,15 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
                 rop_lr=jnp.asarray(rop.step(current_loss), jnp.float32))
 
         state = state.next_epoch()
-        printer(f"Epoch {epoch} used time: {time.time() - epoch_t:.1f}s")
+        now = time.time()
+        printer(f"Epoch {epoch} used time: {now - epoch_t:.1f}s "
+                f"(train {t_train_done - epoch_t:.1f}s, "
+                f"valid {t_valid_done - t_train_done:.1f}s, "
+                f"fetch {t_fetch_done - t_valid_done:.1f}s; "
+                f"calib/eval/ckpt overlap the next epoch)")
         sys.stdout.flush()
 
+    _join_tail()
     best_epoch = metrics.get("epoch", 0) - es.counter
     printer(f"Best Epoch: {best_epoch}")
     printer(f"training finished, total time "

