@@ -23,10 +23,6 @@ from flax import linen as nn
 
 from mural_tpu.genome.encode import ONE_HOT_TABLE
 
-# (15, 4) fractional IUPAC one-hot table, device-resident constant.
-_OHE = jnp.asarray(ONE_HOT_TABLE)
-
-
 def one_hot_from_codes(codes: jnp.ndarray,
                        dtype=jnp.float32) -> jnp.ndarray:
     """uint8 genome codes (N, L) -> fractional one-hot (N, L, 4).
@@ -34,8 +30,14 @@ def one_hot_from_codes(codes: jnp.ndarray,
     This is the device-side replacement for the reference's host
     ``seq_ohe_encoder`` (preprocessing.py:756-816): a single gather that
     XLA fuses into the first convolution.
+
+    The (15, 4) IUPAC table is materialised lazily (usually inside a
+    trace, where it becomes a compile-time constant): a module-level
+    ``jnp.asarray`` would initialise the XLA backend at import time,
+    which breaks ``jax.distributed.initialize`` ordering and pins the
+    default device prematurely.
     """
-    return _OHE.astype(dtype)[codes.astype(jnp.int32)]
+    return jnp.asarray(ONE_HOT_TABLE, dtype)[codes.astype(jnp.int32)]
 
 
 def max_pool1d(x: jnp.ndarray, kernel: int, stride: int,

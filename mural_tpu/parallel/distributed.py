@@ -24,14 +24,18 @@ def initialize(coordinator_address: Optional[str] = None,
     initialised or in single-process mode (no-op).
     """
     import jax
-    if jax.process_count() > 1:
+
+    # NOTE: jax.process_count() would itself initialise the XLA backend,
+    # after which jax.distributed.initialize refuses to run -- only the
+    # explicit is_initialized() probe is safe here.
+    if jax.distributed.is_initialized():
         return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id)
-    except (RuntimeError, ValueError) as e:
+    except (RuntimeError, ValueError):
         # single-process environments raise; that's fine
         if num_processes not in (None, 1):
             raise

@@ -36,6 +36,51 @@ def test_parallel_trials_across_devices(tiny_genome, tiny_bed, tmp_path):
 
 
 @needs8
+def test_parallel_trials_match_serial(tiny_genome, tiny_bed, tmp_path):
+    """Concurrent trial packing must produce the same per-trial results
+    as the serial mode (VERDICT round-1 item 8).  Same experiment seed
+    -> same trial ids + sampled configs; CPU devices are identical, so
+    the final losses must match to float tolerance.
+
+    Caveat (documented): concurrent trials share one Python process, so
+    host-side encoding/eval tails contend on the GIL -- packing helps
+    only when trials are device-bound (native gathers release the GIL).
+    """
+    from mural_tpu.train.loop import TrainOptions
+    from mural_tpu.tune.runner import ExperimentOptions, run_experiment
+    from mural_tpu.tune.space import Choice
+
+    space = dict(
+        local_radius=2, local_order=1, local_dropout=0.0,
+        distal_fc_dropout=0.0, emb_dropout=0.0,
+        local_hidden1_size=Choice([8, 16]), local_hidden2_size=4,
+        distal_radius=105, segment_center=5000, sampled_segments=4,
+        batch_size=32, optim="Adam", learning_rate=1e-3,
+        lr_scheduler="StepLR", LR_gamma=0.9, weight_decay=0.0,
+        weight_decay_auto=None, restart_lr=1e-4, min_lr=1e-6,
+        CNN_kernel_size=3, CNN_out_channels=4, transfer_learning=False)
+    opts = TrainOptions(train_data=tiny_bed,
+                        ref_genome=tiny_genome["path"], n_class=4,
+                        model_no=2, valid_ratio=0.25, split_seed=1)
+    losses = {}
+    for n_par in (1, 2):
+        exp = ExperimentOptions(experiment_name=f"eq{n_par}",
+                                results_dir=str(tmp_path), n_trials=2,
+                                epochs=2, n_parallel=n_par, seed=11)
+        best = run_experiment(space, opts, "snv", exp,
+                              printer=lambda *a: None)
+        # map trial id -> loss (paths contain the trial directory)
+        losses[n_par] = sorted(
+            (path.split("/")[-3], loss) for path, loss in best)
+    ids1 = [t for t, _ in losses[1]]
+    ids2 = [t for t, _ in losses[2]]
+    assert ids1 == ids2
+    l1 = np.asarray([l for _, l in losses[1]])
+    l2 = np.asarray([l for _, l in losses[2]])
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
+
+
+@needs8
 def test_fused_inference_sharded(tiny_genome, tiny_bed, tmp_path):
     """--fused_inference must thread into the sharded (n_devices>1)
     predict path and agree with the unsharded fused run (ADVICE round-1:
