@@ -44,7 +44,7 @@ class GenomePredictOptions:
     focal_base: str = "A"            # model's focal base ('A' or 'C')
     chroms: Optional[Sequence[str]] = None
     batch_size: int = 2048
-    flush_batches: int = 256         # transfer/write cadence
+    flush_batches: int = 32          # transfer/write window (batches)
     chunk_size: int = 1 << 22        # codes uploaded per device chunk
     n_devices: int = 1
     n_workers: int = 0               # postprocess worker processes
@@ -325,25 +325,57 @@ def run_genome_predict(opts: GenomePredictOptions,
     submitted = 0
     batch_count = 0
 
-    def flush():
+    # flush windows drain on a separate thread: the device->host logits
+    # transfer (one packed concat per window) and the postprocess submit
+    # overlap the main loop's dispatching, so the device never waits on
+    # the host fetch
+    import queue
+    import threading
+    drain_q: "queue.Queue" = queue.Queue(maxsize=2)
+    drain_err: List = []
+
+    def drain_worker():
         nonlocal submitted
+        while True:
+            item = drain_q.get()
+            if item is None:
+                return
+            dev_flat, valids, meta_rows = item
+            try:
+                flat = np.asarray(dev_flat)
+                logits_np = [flat[i * batch_size:i * batch_size + n]
+                             for i, n in enumerate(valids)]
+                # one farm chunk per run of same-chrom batches
+                i, k = 0, len(valids)
+                while i < k:
+                    chrom = meta_rows[i][0]
+                    j = i
+                    while j < k and meta_rows[j][0] == chrom:
+                        j += 1
+                    pos = np.concatenate(
+                        [meta_rows[t][1] for t in range(i, j)])
+                    neg = np.concatenate(
+                        [meta_rows[t][2] for t in range(i, j)])
+                    farm.submit(chrom, pos, neg,
+                                np.concatenate(logits_np[i:j]))
+                    submitted += len(pos)
+                    i = j
+            except BaseException as e:
+                drain_err.append(e)
+                return
+
+    drain_thread = threading.Thread(target=drain_worker, daemon=True)
+    drain_thread.start()
+
+    def flush():
         if not pending:
             return
-        logits_np = [np.asarray(lg)[:n] for lg, n in
-                     zip(pending, pending_valid)]
-        # one farm chunk per run of consecutive same-chrom batches
-        i, k = 0, len(pending)
-        while i < k:
-            chrom = meta[i][0]
-            j = i
-            while j < k and meta[j][0] == chrom:
-                j += 1
-            pos = np.concatenate([meta[t][1] for t in range(i, j)])
-            neg = np.concatenate([meta[t][2] for t in range(i, j)])
-            farm.submit(chrom, pos, neg, np.concatenate(logits_np[i:j]))
-            submitted += len(pos)
-            i = j
-        del meta[:k]
+        if drain_err:
+            raise drain_err[0]
+        # async device-side concat; the drain thread pays the transfer
+        dev_flat = jnp.concatenate(pending)
+        drain_q.put((dev_flat, list(pending_valid), meta[:len(pending)]))
+        del meta[:len(pending)]
         pending.clear()
         pending_valid.clear()
 
@@ -359,6 +391,10 @@ def run_genome_predict(opts: GenomePredictOptions,
                     f"{submitted / max(time.time() - t0, 1e-9):,.0f} "
                     f"sites/s")
     flush()
+    drain_q.put(None)
+    drain_thread.join()
+    if drain_err:
+        raise drain_err[0]
     _phase("device loop + flushes")
     total = farm.close()
     _phase("writer close")
