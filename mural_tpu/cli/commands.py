@@ -360,9 +360,11 @@ def add_predict_genome_parser(subparsers, model_type: str):
     opt.add_argument("--chroms", type=str, nargs="+", default=None,
                      help="Restrict to these chromosomes.")
     opt.add_argument("--pred_batch_size", type=int, metavar="INT",
-                     default=16384,
+                     default=16384 if model_type == "snv" else 1024,
                      help="Batch size; large batches amortise per-"
-                          "dispatch transfer latency. Default: 16384.")
+                          "dispatch transfer latency (INDEL windows are "
+                          "20-40x wider, so its default is smaller). "
+                          "Default: %(default)s.")
     opt.add_argument("--n_devices", type=int, metavar="INT", default=1,
                      help="Shard over this many TPU devices.")
     opt.add_argument("--n_workers", type=int, metavar="INT", default=0,
