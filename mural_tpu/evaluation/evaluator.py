@@ -41,6 +41,49 @@ def _kmer_columns(k: int) -> List[str]:
             + [f"ds{i+1}" for i in range(d)])
 
 
+def kmer_comp_rand(df, k: int, n_rows: int, sampling_times: int = 10,
+                   rng=None, printer=print) -> float:
+    """Self-consistency diagnostic: Pearson correlation of observed
+    k-mer mutation frequencies between two random subsamples of the
+    same dataset, averaged over ``sampling_times`` draws (ref
+    f3mer/f5mer/f7mer_comp_rand, evaluation.py:69-122, generalised over
+    k).  High values mean ``n_rows`` sites suffice to estimate k-mer
+    rates stably."""
+    if rng is None:
+        rng = np.random.default_rng()
+    cols = _kmer_columns(k)
+    digits = df[cols].to_numpy().astype(np.int64)
+    key = np.zeros(len(digits), dtype=np.int64)
+    for j in range(digits.shape[1]):
+        key = key * 4 + np.clip(digits[:, j], 0, 3)
+    mut = df["mut_type"].to_numpy().astype(np.float64)
+    n_keys = 4 ** len(cols)
+
+    def sample_freq():
+        idx = rng.choice(len(key), size=n_rows, replace=False)
+        cnt = np.bincount(key[idx], minlength=n_keys)
+        s = np.bincount(key[idx], weights=mut[idx], minlength=n_keys)
+        present = cnt > 0
+        return s[present] / cnt[present], present
+
+    mean_corr = 0.0
+    for _ in range(sampling_times):
+        f1, p1 = sample_freq()
+        f2, p2 = sample_freq()
+        # align on k-mers present in both samples
+        common = p1 & p2
+        a = np.zeros(n_keys)
+        b = np.zeros(n_keys)
+        a[p1] = f1
+        b[p2] = f2
+        corr = _pearson(a[common], b[common])
+        printer(f"corr of {k}mer freq1 and freq2:", corr)
+        mean_corr += corr
+    mean_corr /= sampling_times
+    printer("mean corr:", mean_corr)
+    return mean_corr
+
+
 def freq_kmer_comp_multi(data_and_prob, k: int, n_class: int) -> List[float]:
     """Observed vs predicted per-class rates across k-mer contexts.
 

@@ -49,17 +49,77 @@ class ExperimentOptions:
     n_parallel: int = 1               # trials run concurrently (devices)
     rerun_failed: bool = False
     seed: Optional[int] = None
+    progress_interval: float = 30.0   # live table cadence (scheduler mode)
+
+
+class ProgressTable:
+    """Live trial-status table (the reference's Ray CLIReporter
+    analogue, run_train_raytune.py:294): a daemon thread prints one
+    PrettyTable of every trial's latest metrics at a fixed cadence while
+    trials run."""
+
+    COLS = ["trial", "status", "iter", "loss", "fdiri_loss",
+            "after_min_loss"]
+
+    def __init__(self, printer=print, interval: float = 30.0):
+        self.printer = printer
+        self.interval = interval
+        self._rows: Dict[str, Dict] = {}
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+
+    def update(self, trial_id: str, status: str, iteration: int = 0,
+               metrics: Optional[Dict] = None) -> None:
+        with self._lock:
+            row = self._rows.setdefault(trial_id, {})
+            row["status"] = status
+            if iteration:
+                row["iter"] = iteration
+            if metrics:
+                row.update({k: metrics[k] for k in
+                            ("loss", "fdiri_loss", "after_min_loss")
+                            if k in metrics})
+
+    def render(self) -> str:
+        from mural_tpu.utils.params import format_table
+        rows = []
+        with self._lock:
+            for trial_id in sorted(self._rows):
+                row = self._rows[trial_id]
+                rows.append([trial_id, row.get("status", "?"),
+                             row.get("iter", 0)]
+                            + [(f"{row[k]:.5g}" if k in row else "-")
+                               for k in ("loss", "fdiri_loss")]
+                            + [row.get("after_min_loss", "-")])
+        return format_table(self.COLS, rows)
+
+    def _loop(self):
+        while not self._stop.wait(self.interval):
+            self.printer(self.render())
+
+    def start(self):
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join()
+        self.printer(self.render())
 
 
 def _trial_worker(trial_id: str, config: Dict, opts: TrainOptions,
                   model_type: str, scheduler: Optional[ASHAScheduler],
-                  device=None):
+                  device=None, progress: Optional[ProgressTable] = None):
     import jax
 
     iteration = {"n": 0}
 
     def report(metrics: Dict) -> bool:
         iteration["n"] += 1
+        if progress is not None:
+            progress.update(trial_id, "RUNNING", iteration["n"], metrics)
         if metrics.get("after_min_loss", 0) >= AFTER_MIN_LOSS_STOP:
             return False
         if scheduler is not None:
@@ -96,10 +156,15 @@ def run_experiment(space: Dict, base_opts: TrainOptions, model_type: str,
     id_rng = random.Random(exp.seed)
 
     scheduler = None
+    progress = None
     if exp.use_scheduler:
         scheduler = ASHAScheduler(metric=exp.asha_metric, mode="min",
                                   max_t=exp.epochs,
                                   grace_period=exp.grace_period)
+        # the reference's Ray mode shows a CLIReporter table; mirror it
+        progress = ProgressTable(printer=printer,
+                                 interval=exp.progress_interval)
+        progress.start()
 
     # assemble trial list (fresh, or only errored ones on rerun_failed)
     import pickle
@@ -158,14 +223,20 @@ def run_experiment(space: Dict, base_opts: TrainOptions, model_type: str,
                   "wb") as fh:
             import pickle
             pickle.dump(config, fh)
+        if progress is not None:
+            progress.update(trial_id, "RUNNING")
         out = _trial_worker(trial_id, config, opts, model_type,
-                            scheduler, device=dev)
+                            scheduler, device=dev, progress=progress)
         with lock:
             results.append(out)
         write_progress_csv(trial_dir)
         if out[2] is not None:
+            if progress is not None:
+                progress.update(trial_id, "ERROR")
             printer(f"Trial {trial_id} FAILED: {out[2]}")
         else:
+            if progress is not None:
+                progress.update(trial_id, "TERMINATED")
             printer(f"Trial {trial_id} finished: loss="
                     f"{out[1].get('loss'):.6g}")
 
@@ -187,6 +258,8 @@ def run_experiment(space: Dict, base_opts: TrainOptions, model_type: str,
         for th in threads:
             th.join()
 
+    if progress is not None:
+        progress.stop()
     best = scan_experiment_best(exp_dir, metric="loss")
     if best:
         printer("Best checkpoints by validation loss:")

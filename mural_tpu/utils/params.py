@@ -12,6 +12,21 @@ from typing import Tuple
 import numpy as np
 
 
+def format_table(headers, rows) -> str:
+    """Plain-text PrettyTable-style box (prettytable isn't installed)."""
+    cols = [[str(h)] + [str(r[i]) for r in rows]
+            for i, h in enumerate(headers)]
+    widths = [max(len(v) for v in col) for col in cols]
+    sep = "+-" + "-+-".join("-" * w for w in widths) + "-+"
+    def line(vals):
+        return ("| " + " | ".join(str(v).ljust(w)
+                                  for v, w in zip(vals, widths)) + " |")
+    out = [sep, line(headers), sep]
+    out += [line(r) for r in rows]
+    out.append(sep)
+    return "\n".join(out)
+
+
 def count_parameters(params, printer=print) -> int:
     import jax
     rows = []

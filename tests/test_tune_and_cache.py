@@ -143,3 +143,22 @@ def test_device_utils():
     assert check_device_id(0) is devs[0]
     with pytest.raises(ValueError):
         check_device_id(len(devs))
+
+
+def test_progress_table_renders_and_updates():
+    """CLIReporter analogue (ref run_train_raytune.py:294)."""
+    lines = []
+    from mural_tpu.tune.runner import ProgressTable
+    pt = ProgressTable(printer=lines.append, interval=0.05)
+    pt.update("Train_a_00000", "RUNNING", 1,
+              {"loss": 0.5, "fdiri_loss": 0.41, "after_min_loss": 0})
+    pt.start()
+    import time
+    time.sleep(0.2)
+    pt.update("Train_a_00001", "TERMINATED", 3, {"loss": 0.4})
+    pt.stop()
+    assert lines, "no table printed"
+    final = lines[-1]
+    assert "Train_a_00000" in final and "Train_a_00001" in final
+    assert "RUNNING" in final and "TERMINATED" in final
+    assert "0.41" in final
