@@ -119,8 +119,8 @@ def main():
     from __graft_entry__ import _example_batch, _flagship
     from mural_tpu.models.init import materialize_variables
     from mural_tpu.train.optim import LRSchedule
+    from mural_tpu.train.packed import make_packed_train_step, pack_state
     from mural_tpu.train.state import create_train_state
-    from mural_tpu.train.steps import make_train_step
     from mural_tpu.utils.compile_cache import _enable_compilation_cache
     _enable_compilation_cache()
 
@@ -139,15 +139,16 @@ def main():
                              1e-4, 1e-6)
 
     def fresh_state():
-        # donate=True invalidates state buffers; re-upload from host
-        return create_train_state(model, jax.device_put(variables_host),
-                                  "Adam", 1e-5, sched)
+        # donate=True invalidates state buffers; re-upload from host.
+        # pack_state = the production training path (train/packed.py)
+        return pack_state(create_train_state(
+            model, jax.device_put(variables_host), "Adam", 1e-5, sched))
 
     rng = jax.random.key(1)
     y, cat, codes, mask = map(jnp.asarray, (y, cat, codes, mask))
 
     # --- FLOPs from the compiled program (for MFU) ---------------------
-    step = make_train_step(model, donate=True)
+    step = make_packed_train_step(model, fresh_state(), donate=True)
     state = fresh_state()
     flops = None
     try:
@@ -164,8 +165,8 @@ def main():
     mfu = (flops / dt_f32 / V5E_BF16_PEAK_FLOPS) if flops else None
 
     # --- single-pass bf16 MXU variant ----------------------------------
-    step16 = make_train_step(model, donate=True,
-                             matmul_precision="bfloat16")
+    step16 = make_packed_train_step(model, fresh_state(), donate=True,
+                                    matmul_precision="bfloat16")
     dt_bf16, _ = _measure_step(step16, fresh_state(), y, cat, codes,
                                mask, rng)
     bf16_value = BATCH / dt_bf16

@@ -139,6 +139,10 @@ def run_genome_predict(opts: GenomePredictOptions,
          "batch_stats": template.get("batch_stats", {})}, 0)
     restored = jax.device_put(load_checkpoint(opts.model_path, variables))
     params, batch_stats = restored["params"], restored["batch_stats"]
+    # flat-packed inference buffers: 2 input leaves per batch instead of
+    # ~480 (train/packed.py)
+    from mural_tpu.train.packed import pack_variables, unpack_tree
+    flat_p, flat_s, p_spec, s_spec = pack_variables(params, batch_stats)
     _phase("load checkpoint")
 
     calibr = (load_calibrator(opts.calibrator_path)
@@ -149,8 +153,8 @@ def run_genome_predict(opts: GenomePredictOptions,
                                              replicated)
         mesh = make_mesh(opts.n_devices)
         sharding = batch_sharding(mesh)
-        params = jax.device_put(params, replicated(mesh))
-        batch_stats = jax.device_put(batch_stats, replicated(mesh))
+        flat_p = jax.device_put(flat_p, replicated(mesh))
+        flat_s = jax.device_put(flat_s, replicated(mesh))
         per = -(-opts.batch_size // opts.n_devices)
         batch_size = per * opts.n_devices
     else:
@@ -176,9 +180,10 @@ def run_genome_predict(opts: GenomePredictOptions,
                                       k=k_stem)
     else:
         def forward(p_, bs_, cat, distal_codes):
-            return model.apply({"params": p_, "batch_stats": bs_}, cat,
-                               None, one_hot_from_codes(distal_codes),
-                               False)
+            return model.apply({"params": unpack_tree(p_, p_spec),
+                                "batch_stats": unpack_tree(bs_, s_spec)},
+                               cat, None,
+                               one_hot_from_codes(distal_codes), False)
 
     @jax.jit
     def genome_step(p_, bs_, codes, packed):
@@ -300,7 +305,7 @@ def run_genome_predict(opts: GenomePredictOptions,
                     return
                 codes_dev, packed_dev, n_valid, mrow = item
                 step_t0 = time.time()
-                lg = genome_step(params, batch_stats, codes_dev,
+                lg = genome_step(flat_p, flat_s, codes_dev,
                                  packed_dev)
                 if "first step (compile)" not in phases:
                     phases["first step (compile)"] = (time.time()

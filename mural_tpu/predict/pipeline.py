@@ -30,7 +30,6 @@ from mural_tpu.genome.tracks import TrackSet, read_track_list
 from mural_tpu.models.registry import build_model
 from mural_tpu.train.checkpoint import (load_calibrator, load_checkpoint,
                                         load_config)
-from mural_tpu.train.steps import make_eval_step
 
 
 @dataclasses.dataclass
@@ -127,6 +126,11 @@ def run_predict(opts: PredictOptions, model_type: str = "snv",
     # through a per-transfer-latency transport
     restored = jax.device_put(restored, opts.device)
     params, batch_stats = restored["params"], restored["batch_stats"]
+    # flat-packed inference buffers: 2 input leaves per batch instead of
+    # ~480 (train/packed.py -- measured 2.5x on the eval forward)
+    from mural_tpu.train.packed import (make_packed_eval_step,
+                                        pack_variables)
+    flat_p, flat_s, p_spec, s_spec = pack_variables(params, batch_stats)
 
     prob_names = [f"prob{i}" for i in range(n_class)]
     test_size = ds.n_sites
@@ -151,16 +155,16 @@ def run_predict(opts: PredictOptions, model_type: str = "snv",
                                         k=k_stem)
             return logits, masked_ce_sum(logits, y, mask)
 
+    if not use_fused:
+        eval_step = make_packed_eval_step(model, (p_spec, s_spec))
+
     if opts.n_devices > 1:
         from mural_tpu.parallel.sharded_predict import sharded_predict
         logits, total_loss = sharded_predict(
-            model, params, batch_stats, ds, opts.pred_batch_size,
-            opts.n_devices,
-            eval_step=eval_step if use_fused else None)
+            model, flat_p, flat_s, ds, opts.pred_batch_size,
+            opts.n_devices, eval_step=eval_step)
     else:
         import jax.numpy as jnp
-        if not use_fused:
-            eval_step = make_eval_step(model)
         parts = []
         n_valids = []
         loss_dev = jnp.zeros((), jnp.float32)
@@ -174,7 +178,7 @@ def run_predict(opts: PredictOptions, model_type: str = "snv",
         for db in prefetch(batches, size=2, device=opts.device):
             t_fetch += time.time() - t0
             t1 = time.time()
-            lg, loss = eval_step(params, batch_stats, db.y, db.cat,
+            lg, loss = eval_step(flat_p, flat_s, db.y, db.cat,
                                  db.cont, db.distal, db.mask,
                                  db.distal_tracks)
             parts.append(lg)

@@ -39,7 +39,6 @@ from mural_tpu.train.checkpoint import load_checkpoint, save_checkpoint
 from mural_tpu.train.early_stopping import EarlyStopping
 from mural_tpu.train.optim import LRSchedule, auto_weight_decay
 from mural_tpu.train.state import create_train_state
-from mural_tpu.train.steps import make_eval_step, make_train_step
 from mural_tpu.utils.printer import get_printer
 
 
@@ -310,12 +309,19 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
         config.get("lr_scheduler", "StepLR"), config["learning_rate"],
         config.get("LR_gamma", 0.9), config["batch_size"],
         max(train_size, 1), config["restart_lr"], config["min_lr"])
-    state = create_train_state(model, variables, config.get("optim", "Adam"),
-                               config["weight_decay"], schedule,
-                               trainable_mask=trainable_mask)
-    train_step = make_train_step(
-        model, matmul_precision="bfloat16" if opts.bf16 else None)
-    eval_step = make_eval_step(model)
+    # the state is kept flat-packed for the whole run: the model family
+    # is ~480 tiny parameter leaves, and dispatching pytree-shaped steps
+    # pays a per-leaf runtime cost that exceeds the step's compute
+    # (train/packed.py); unpacked host views are taken at epoch
+    # boundaries for checkpoint/eval
+    from mural_tpu.train.packed import (make_packed_eval_step,
+                                        make_packed_train_step, pack_state)
+    state = pack_state(create_train_state(
+        model, variables, config.get("optim", "Adam"),
+        config["weight_decay"], schedule, trainable_mask=trainable_mask))
+    train_step = make_packed_train_step(
+        model, state, matmul_precision="bfloat16" if opts.bf16 else None)
+    eval_step = make_packed_eval_step(model, state)
     base_rng = jax.random.key(opts.rng_seed)
 
     # -- data-parallel mesh (extension over the single-device reference,
@@ -356,7 +362,6 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     # joined before the next one starts, keeping logs/metrics ordered.
     import threading
 
-    from mural_tpu.utils.transfer import fetch_packed
     tail: Dict = {"thread": None, "stop": False, "error": None}
 
     def _join_tail():
@@ -498,7 +503,7 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
         n_valids = []
         for db in prefetch(vbatches, size=2, device=opts.device,
                            sharding=batch_sharding_):
-            logits, vloss = eval_step(state.params, state.batch_stats,
+            logits, vloss = eval_step(state.flat_params, state.flat_stats,
                                       db.y, db.cat, db.cont, db.distal,
                                       db.mask, db.distal_tracks)
             vloss_dev = vloss_dev + vloss
@@ -518,9 +523,9 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             break
 
         # host snapshot BEFORE the next epoch's donated train steps
-        # invalidate the buffers; packed fetch = one transfer per dtype
-        params_host = fetch_packed(state.params)
-        stats_host = fetch_packed(state.batch_stats)
+        # invalidate the buffers; the packed state is one transfer each
+        params_host = state.params_host()
+        stats_host = state.batch_stats_host()
         t_fetch_done = time.time()
 
         current_loss = valid_total_loss / max(valid_size, 1)
