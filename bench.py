@@ -160,7 +160,26 @@ def main():
     except Exception:
         pass
 
-    dt_f32, state = _measure_step(step, state, y, cat, codes, mask, rng)
+    dt_single, state = _measure_step(step, state, y, cat, codes, mask,
+                                     rng)
+    single_value = BATCH / dt_single
+
+    # --- production path: K=8 scan steps per dispatch (loop default) ---
+    from mural_tpu.train.packed import make_packed_train_step_scan
+    K = 8
+    stepK = make_packed_train_step_scan(model, fresh_state())
+    ys = jnp.broadcast_to(y, (K,) + y.shape)
+    cats = jnp.broadcast_to(cat, (K,) + cat.shape)
+    codess = jnp.broadcast_to(codes, (K,) + codes.shape)
+    masks = jnp.broadcast_to(mask, (K,) + mask.shape)
+    stK = fresh_state()
+    stK, losses, _ = stepK(stK, ys, cats, None, codess, masks, rng)
+    losses.block_until_ready()
+    t0 = time.time()
+    for _ in range(ITERS):
+        stK, losses, _ = stepK(stK, ys, cats, None, codess, masks, rng)
+    losses.block_until_ready()
+    dt_f32 = (time.time() - t0) / ITERS / K
     value = BATCH / dt_f32
     mfu = (flops / dt_f32 / V5E_BF16_PEAK_FLOPS) if flops else None
 
@@ -184,6 +203,7 @@ def main():
         "vs_baseline": round(value / BASELINE_TRAIN_WINDOWS_PER_SEC, 2),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "step_flops": flops,
+        "single_dispatch_windows_per_sec": round(single_value, 1),
         "bf16_windows_per_sec": round(bf16_value, 1),
         "e2e_epoch_windows_per_sec": (round(e2e, 1)
                                       if e2e is not None else None),

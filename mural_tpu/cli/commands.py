@@ -68,6 +68,11 @@ def _learning_args(p, lr_default):
                    help="Single-pass bfloat16 MXU matmuls/convs in the "
                         "train step (faster; loss trajectory within "
                         "tolerance of float32).")
+    g.add_argument("--steps_per_dispatch", type=int, metavar="INT",
+                   default=8,
+                   help="Train steps fused into one device dispatch "
+                        "(lax.scan); amortises per-dispatch overhead. "
+                        "1 disables. Default: 8.")
     return g
 
 

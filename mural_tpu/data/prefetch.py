@@ -53,6 +53,105 @@ def to_device(batch: Batch, device=None, sharding=None) -> DeviceBatch:
     )
 
 
+class StackedDeviceBatch:
+    """K host batches stacked on a leading axis and device-put as one
+    transfer each, for the scan train step
+    (train/packed.make_packed_train_step_scan)."""
+    __slots__ = ("k", "y", "cat", "cont", "distal", "mask", "n_valids",
+                 "distal_tracks")
+
+    def __init__(self, k, y, cat, cont, distal, mask, n_valids,
+                 distal_tracks=None):
+        self.k = k
+        self.y = y
+        self.cat = cat
+        self.cont = cont
+        self.distal = distal
+        self.mask = mask
+        self.n_valids = n_valids
+        self.distal_tracks = distal_tracks
+
+
+def _stack_group(group, device=None, sharding=None) -> StackedDeviceBatch:
+    import numpy as np
+    put = (lambda x: jax.device_put(x, sharding)) if sharding is not None \
+        else (lambda x: jax.device_put(x, device))
+    masks = np.stack([
+        (np.arange(len(b.y)) < b.n_valid).astype(np.float32)
+        for b in group])
+    return StackedDeviceBatch(
+        k=len(group),
+        y=put(np.stack([b.y for b in group])),
+        cat=put(np.stack([b.cat for b in group])),
+        cont=(None if group[0].cont is None
+              else put(np.stack([b.cont for b in group]))),
+        distal=put(np.stack([b.distal for b in group])),
+        mask=put(masks),
+        n_valids=[b.n_valid for b in group],
+        distal_tracks=(None if group[0].distal_tracks is None
+                       else put(np.stack([b.distal_tracks
+                                          for b in group]))),
+    )
+
+
+def prefetch_stacked(batches: Iterator[Batch], k: int, size: int = 2,
+                     device=None, sharding=None, single_sharding=None):
+    """Group ``k`` host batches, stack them on a leading axis, and yield
+    :class:`StackedDeviceBatch` objects from a prefetch thread.  A final
+    group with fewer than ``k`` batches is yielded as individual
+    :class:`DeviceBatch` objects (so only two programs ever compile:
+    the K-scan step and the single step).
+
+    ``sharding`` applies to stacked groups (batch on axis 1, e.g.
+    ``stacked_batch_sharding``); ``single_sharding`` to the leftover
+    single batches (batch on axis 0)."""
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    _SENTINEL = object()
+    err: list = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def worker():
+        try:
+            group: list = []
+            for b in batches:
+                group.append(b)
+                if len(group) == k:
+                    if not _put(_stack_group(group, device=device,
+                                             sharding=sharding)):
+                        return
+                    group = []
+            for b in group:   # leftovers run the single-step path
+                if not _put(to_device(b, device=device,
+                                      sharding=single_sharding)):
+                    return
+        except BaseException as e:  # surfaced in the consumer
+            err.append(e)
+        finally:
+            _put(_SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        stop.set()
+
+
 def prefetch(batches: Iterator[Batch], size: int = 2, device=None,
              sharding=None) -> Iterator[DeviceBatch]:
     """Wrap a host batch iterator with a device-put prefetch thread.

@@ -30,5 +30,12 @@ def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis_name))
 
 
+def stacked_batch_sharding(mesh: Mesh,
+                           axis_name: str = "data") -> NamedSharding:
+    """Shard axis 1 (the batch axis of K-stacked scan batches,
+    data/prefetch.StackedDeviceBatch); the leading K axis replicates."""
+    return NamedSharding(mesh, P(None, axis_name))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

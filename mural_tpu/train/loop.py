@@ -75,6 +75,7 @@ class TrainOptions:
     dp_devices: int = 1                # data-parallel mesh size
     profile_dir: Optional[str] = None  # capture a jax profiler trace
     bf16: bool = False                 # single-pass bf16 MXU matmuls
+    steps_per_dispatch: int = 8        # K-scan train steps per dispatch
 
 
 def split_segments_like_torch(n_segments: int, valid_ratio: float,
@@ -315,12 +316,24 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     # (train/packed.py); unpacked host views are taken at epoch
     # boundaries for checkpoint/eval
     from mural_tpu.train.packed import (make_packed_eval_step,
-                                        make_packed_train_step, pack_state)
+                                        make_packed_train_step,
+                                        make_packed_train_step_scan,
+                                        pack_state)
     state = pack_state(create_train_state(
         model, variables, config.get("optim", "Adam"),
         config["weight_decay"], schedule, trainable_mask=trainable_mask))
     train_step = make_packed_train_step(
         model, state, matmul_precision="bfloat16" if opts.bf16 else None)
+    # K steps per dispatch amortise the fixed per-dispatch cost; the
+    # leftover (< K) batches at the epoch end run the single step.
+    # Disabled while profiling (per-batch timing stays legible).
+    k_scan = max(1, opts.steps_per_dispatch)
+    if opts.profile_dir is not None:
+        k_scan = 1
+    train_step_scan = (make_packed_train_step_scan(
+        model, state,
+        matmul_precision="bfloat16" if opts.bf16 else None)
+        if k_scan > 1 else None)
     eval_step = make_packed_eval_step(model, state)
     base_rng = jax.random.key(opts.rng_seed)
 
@@ -328,11 +341,14 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     # SURVEY.md 2.3): params replicate, batches shard on the 'data' axis,
     # XLA derives the gradient all-reduce over ICI from the shardings.
     batch_sharding_ = None
+    stacked_sharding_ = None
     if opts.dp_devices > 1:
         from mural_tpu.parallel.mesh import (batch_sharding, make_mesh,
-                                             replicated)
+                                             replicated,
+                                             stacked_batch_sharding)
         mesh = make_mesh(opts.dp_devices)
         batch_sharding_ = batch_sharding(mesh)
+        stacked_sharding_ = stacked_batch_sharding(mesh)
         state = jax.device_put(state, replicated(mesh))
         base_rng = jax.device_put(base_rng, replicated(mesh))
         if config["batch_size"] % opts.dp_devices:
@@ -468,19 +484,35 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
         profiling = (opts.profile_dir is not None and epoch == 0)
         if profiling:
             jax.profiler.start_trace(opts.profile_dir)
-        for db in prefetch(batches, size=2, device=opts.device,
-                           sharding=batch_sharding_):
+        if k_scan > 1:
+            from mural_tpu.data.prefetch import prefetch_stacked
+            batch_iter = prefetch_stacked(
+                batches, k_scan, size=2, device=opts.device,
+                sharding=stacked_sharding_,
+                single_sharding=batch_sharding_)
+        else:
+            batch_iter = prefetch(batches, size=2, device=opts.device,
+                                  sharding=batch_sharding_)
+        for db in batch_iter:
             if tail["stop"]:      # scheduler stopped us mid-overlap
                 break
             fetch_t += time.time() - t0
-            batch_count += 1
             t1 = time.time()
-            state, loss, lr = train_step(state, db.y, db.cat, db.cont,
-                                         db.distal, db.mask, base_rng,
-                                         db.distal_tracks)
-            total_loss_dev = total_loss_dev + loss
+            if hasattr(db, "k"):     # K-stacked group -> scan step
+                state, losses, lr = train_step_scan(
+                    state, db.y, db.cat, db.cont, db.distal, db.mask,
+                    base_rng, db.distal_tracks)
+                total_loss_dev = total_loss_dev + jnp.sum(losses)
+                batch_count += db.k
+            else:
+                state, loss, lr = train_step(state, db.y, db.cat,
+                                             db.cont, db.distal,
+                                             db.mask, base_rng,
+                                             db.distal_tracks)
+                total_loss_dev = total_loss_dev + loss
+                batch_count += 1
             train_t += time.time() - t1
-            if batch_count % 1000 == 0:
+            if batch_count % 1000 < k_scan and batch_count >= 1000:
                 printer(f"Batch {batch_count}: fetch {fetch_t:.1f}s, "
                         f"train {train_t:.1f}s (last 1000, async)")
                 fetch_t = train_t = 0.0

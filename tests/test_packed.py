@@ -98,6 +98,43 @@ def test_packed_trajectory_matches_unpacked(setup):
                                rtol=5e-3, atol=1e-4)
 
 
+def test_scan_step_matches_single_steps(setup):
+    from mural_tpu.train.packed import make_packed_train_step_scan
+    model, variables, sched, (y, cat, codes, mask) = setup
+    rng = jax.random.key(11)
+    K = 4
+    # K distinct microbatches
+    ys, cats, codess, masks = [], [], [], []
+    for i in range(K):
+        yb, cb, db, mb = _batch(seed=100 + i)
+        ys.append(yb); cats.append(cb); codess.append(db); masks.append(mb)
+    ys = jnp.stack(ys); cats = jnp.stack(cats)
+    codess = jnp.stack(codess); masks = jnp.stack(masks)
+
+    s1 = pack_state(create_train_state(model, variables, "Adam", 1e-4,
+                                       sched))
+    sK = pack_state(create_train_state(model, variables, "Adam", 1e-4,
+                                       sched))
+    step1 = make_packed_train_step(model, s1, donate=False)
+    stepK = make_packed_train_step_scan(model, sK)
+
+    losses1 = []
+    for i in range(K):
+        s1, l, lr1 = step1(s1, ys[i], cats[i], None, codess[i], masks[i],
+                           rng)
+        losses1.append(float(l))
+    sK, lossesK, lrK = stepK(sK, ys, cats, None, codess, masks, rng)
+
+    np.testing.assert_allclose(losses1, np.asarray(lossesK), rtol=1e-5)
+    assert float(lr1) == float(lrK)
+    # loss trajectory above is the tight contract; params see Adam-eps
+    # amplification of scan-vs-loop reduction-order noise
+    np.testing.assert_allclose(np.asarray(s1.flat_params),
+                               np.asarray(sK.flat_params),
+                               rtol=1e-2, atol=1e-3)
+    assert int(sK.step) == K
+
+
 def test_packed_eval_matches_unpacked(setup):
     model, variables, sched, (y, cat, codes, mask) = setup
     sp = pack_state(create_train_state(model, variables, "Adam", 0.0,
