@@ -236,6 +236,26 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     train_size, valid_size = ds_train.n_sites, ds_valid.n_sites
     printer("train_size, valid_size:", train_size, valid_size)
 
+    # fail fast on label/n_class mismatches instead of deep in the
+    # epoch tail: Dirichlet calibration fits k = classes OBSERVED in the
+    # validation data (np.unique, matching the reference's vendored
+    # dirichletcal), so a class that never occurs there crashes the
+    # Newton solver with an obscure shape error after a full epoch
+    seen = np.unique(np.concatenate([ds_train.y, ds_valid.y]))
+    if seen.max() >= opts.n_class:
+        raise ValueError(
+            f"data contains mutation class {int(seen.max())} but "
+            f"--n_class is {opts.n_class}")
+    seen_valid = np.unique(ds_valid.y)
+    if len(seen_valid) < opts.n_class:
+        missing = sorted(set(range(opts.n_class)) - set(seen_valid))
+        raise ValueError(
+            f"validation data never shows mutation class(es) {missing} "
+            f"(observed {sorted(int(c) for c in seen_valid)}); Dirichlet "
+            f"calibration requires every class observed -- lower "
+            f"--n_class to match the data (the reference's dirichletcal "
+            f"fails the same way, only later and less clearly)")
+
     # --- config augmentation (training.py:170-177,246-255) ------------
     config = dict(config)
     config["n_class"] = opts.n_class

@@ -157,3 +157,17 @@ def test_indel_train_small(tiny_genome, tmp_path, rng):
         trial_dir=str(tmp_path / "trial"), rng_seed=0)
     metrics = train_trial(config, opts, "indel")
     assert np.isfinite(metrics["loss"])
+
+
+def test_train_rejects_missing_validation_classes(tiny_genome, tiny_bed,
+                                                 tmp_path):
+    """n_class larger than the classes the data shows fails fast with a
+    clear message (the reference's dirichletcal crashes much later with
+    an obscure Newton shape error)."""
+    from mural_tpu.train.loop import TrainOptions, train_trial
+    opts = TrainOptions(
+        train_data=tiny_bed, ref_genome=tiny_genome["path"],
+        n_class=8, model_no=2, epochs=1, valid_ratio=0.2, split_seed=42,
+        grace_period=5, trial_dir=str(tmp_path), rng_seed=0)
+    with pytest.raises(ValueError, match="never shows mutation class"):
+        train_trial(_snv_config(), opts, "snv")
