@@ -183,12 +183,24 @@ def main():
     value = BATCH / dt_f32
     mfu = (flops / dt_f32 / V5E_BF16_PEAK_FLOPS) if flops else None
 
-    # --- single-pass bf16 MXU variant ----------------------------------
+    # --- bf16-activation variant (--bf16 train flag) -------------------
     step16 = make_packed_train_step(model, fresh_state(), donate=True,
-                                    matmul_precision="bfloat16")
+                                    bf16=True)
     dt_bf16, _ = _measure_step(step16, fresh_state(), y, cat, codes,
                                mask, rng)
     bf16_value = BATCH / dt_bf16
+
+    # --- bf16 + K-scan: the fastest opt-in configuration ---------------
+    stepK16 = make_packed_train_step_scan(model, fresh_state(), bf16=True)
+    stK16 = fresh_state()
+    stK16, losses, _ = stepK16(stK16, ys, cats, None, codess, masks, rng)
+    losses.block_until_ready()
+    t0 = time.time()
+    for _ in range(ITERS):
+        stK16, losses, _ = stepK16(stK16, ys, cats, None, codess, masks,
+                                   rng)
+    losses.block_until_ready()
+    bf16_scan_value = BATCH * K * ITERS / (time.time() - t0)
 
     # --- end-to-end epoch ----------------------------------------------
     try:
@@ -205,6 +217,7 @@ def main():
         "step_flops": flops,
         "single_dispatch_windows_per_sec": round(single_value, 1),
         "bf16_windows_per_sec": round(bf16_value, 1),
+        "bf16_scan_windows_per_sec": round(bf16_scan_value, 1),
         "e2e_epoch_windows_per_sec": (round(e2e, 1)
                                       if e2e is not None else None),
     }))

@@ -65,9 +65,10 @@ def _learning_args(p, lr_default):
     g.add_argument("--cudnn_benchmark_false", default=False,
                    action="store_true", help=argparse.SUPPRESS)
     g.add_argument("--bf16", default=False, action="store_true",
-                   help="Single-pass bfloat16 MXU matmuls/convs in the "
-                        "train step (faster; loss trajectory within "
-                        "tolerance of float32).")
+                   help="bfloat16 activations/compute in the train step "
+                        "(float32 parameters, optimizer, BatchNorm "
+                        "statistics and loss reduction). ~1.65x faster; "
+                        "loss trajectory within tolerance of float32.")
     g.add_argument("--steps_per_dispatch", type=int, metavar="INT",
                    default=8,
                    help="Train steps fused into one device dispatch "

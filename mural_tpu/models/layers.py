@@ -151,11 +151,15 @@ class TorchBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axes)
+            # statistics always in f32 (identity for f32 inputs; for the
+            # bf16-activation mode this keeps the large reductions and
+            # the running-stat updates full precision)
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axes)
             # two-pass variance: the E[x^2]-E[x]^2 form cancels
             # catastrophically in f32 on TPU-sized reductions and can go
             # negative -> rsqrt NaN
-            var = jnp.maximum(jnp.mean(jnp.square(x - mean), axes), 0.0)
+            var = jnp.maximum(jnp.mean(jnp.square(x32 - mean), axes), 0.0)
             n = x.size // feat
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():
@@ -163,7 +167,13 @@ class TorchBatchNorm(nn.Module):
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
         inv = jax.lax.rsqrt(var + self.epsilon)
-        return (x - mean) * inv * scale + bias
+        if x.dtype == jnp.float32:
+            return (x - mean) * inv * scale + bias
+        # low-precision activations: fold to one fused multiply-add pass
+        # in x.dtype (an (x - mean) form would upcast the whole tensor)
+        a = inv * scale.astype(jnp.float32)
+        d = bias.astype(jnp.float32) - mean * a
+        return x * a.astype(x.dtype) + d.astype(x.dtype)
 
 
 class BNConv(nn.Module):

@@ -74,7 +74,7 @@ class TrainOptions:
     device: Optional[object] = None
     dp_devices: int = 1                # data-parallel mesh size
     profile_dir: Optional[str] = None  # capture a jax profiler trace
-    bf16: bool = False                 # single-pass bf16 MXU matmuls
+    bf16: bool = False                 # bf16 activations (f32 opt/BN)
     steps_per_dispatch: int = 8        # K-scan train steps per dispatch
 
 
@@ -342,8 +342,7 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     state = pack_state(create_train_state(
         model, variables, config.get("optim", "Adam"),
         config["weight_decay"], schedule, trainable_mask=trainable_mask))
-    train_step = make_packed_train_step(
-        model, state, matmul_precision="bfloat16" if opts.bf16 else None)
+    train_step = make_packed_train_step(model, state, bf16=opts.bf16)
     # K steps per dispatch amortise the fixed per-dispatch cost; the
     # leftover (< K) batches at the epoch end run the single step.
     # Disabled while profiling (per-batch timing stays legible).
@@ -351,9 +350,7 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     if opts.profile_dir is not None:
         k_scan = 1
     train_step_scan = (make_packed_train_step_scan(
-        model, state,
-        matmul_precision="bfloat16" if opts.bf16 else None)
-        if k_scan > 1 else None)
+        model, state, bf16=opts.bf16) if k_scan > 1 else None)
     eval_step = make_packed_eval_step(model, state)
     base_rng = jax.random.key(opts.rng_seed)
 

@@ -145,10 +145,17 @@ def pack_state(state: TrainState) -> PackedTrainState:
 
 def make_packed_train_step(model, pstate: PackedTrainState,
                            donate: bool = True,
-                           matmul_precision: Optional[str] = None):
+                           matmul_precision: Optional[str] = None,
+                           bf16: bool = False):
     """Same math as ``steps.make_train_step`` on the packed state.
-    Output pytree is ~10 leaves instead of ~480."""
+    Output pytree is ~10 leaves instead of ~480.
+
+    ``bf16``: bfloat16 activations/compute (params cast at use, f32
+    optimizer + BatchNorm statistics + loss reduction) -- halves the
+    step's HBM working set, measured 1.65x on the SNV train step.
+    ``matmul_precision`` keeps the older matmul-only control."""
     p_spec, s_spec, tx = pstate.p_spec, pstate.s_spec, pstate.tx
+    act_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(ps: PackedTrainState, y, cat, cont, distal_codes,
@@ -165,7 +172,8 @@ def make_packed_train_step(model, pstate: PackedTrainState,
             with ctx:
                 logits, new_stats = _forward(model, params, stats, cat,
                                              cont, distal_codes, True,
-                                             rng, distal_tracks)
+                                             rng, distal_tracks,
+                                             dtype=act_dtype)
             loss = masked_ce_sum(logits, y, mask)
             return loss, pack_tree(new_stats, s_spec)
 
@@ -183,7 +191,8 @@ def make_packed_train_step(model, pstate: PackedTrainState,
 
 
 def make_packed_train_step_scan(model, pstate: PackedTrainState,
-                                matmul_precision: Optional[str] = None):
+                                matmul_precision: Optional[str] = None,
+                                bf16: bool = False):
     """K train steps per dispatch via ``lax.scan`` over stacked batches.
 
     Amortises the fixed per-dispatch wall cost (~0.5 ms through a remote
@@ -197,6 +206,7 @@ def make_packed_train_step_scan(model, pstate: PackedTrainState,
     with one loss per microbatch.
     """
     p_spec, s_spec, tx = pstate.p_spec, pstate.s_spec, pstate.tx
+    act_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step_scan(ps: PackedTrainState, ys, cats, conts,
@@ -216,7 +226,8 @@ def make_packed_train_step_scan(model, pstate: PackedTrainState,
                 with ctx:
                     logits, new_stats = _forward(model, params, stats,
                                                  cat, cont, codes, True,
-                                                 rng, tracks)
+                                                 rng, tracks,
+                                                 dtype=act_dtype)
                 loss = masked_ce_sum(logits, y, mask)
                 return loss, pack_tree(new_stats, s_spec)
 

@@ -25,14 +25,22 @@ def masked_ce_sum(logits, y, mask):
     Model outputs are log-probabilities; torch CrossEntropyLoss treats
     them as logits and re-normalises -- replicated exactly.
     """
-    logz = jax.nn.logsumexp(logits, axis=1)
+    logits = logits.astype(jnp.float32)   # identity for f32; the bf16
+    logz = jax.nn.logsumexp(logits, axis=1)   # path reduces in full prec
     picked = jnp.take_along_axis(logits, y[:, None], axis=1)[:, 0]
     return jnp.sum((logz - picked) * mask)
 
 
 def _forward(model, params, batch_stats, cat, cont, distal_codes, train,
-             dropout_rng=None, distal_tracks=None):
-    distal = one_hot_from_codes(distal_codes)
+             dropout_rng=None, distal_tracks=None, dtype=jnp.float32):
+    """``dtype``: activation dtype.  bfloat16 selects the mixed-precision
+    path (params cast at use, BatchNorm statistics stay f32 -- see
+    TorchBatchNorm); f32 is the torch-parity default."""
+    if dtype != jnp.float32:
+        params = jax.tree.map(lambda a: a.astype(dtype), params)
+        if cont is not None:
+            cont = cont.astype(dtype)
+    distal = one_hot_from_codes(distal_codes, dtype)
     if distal_tracks is not None:
         # per-base track values appended as extra distal channels
         # (in_channels = 4**distal_order + n_cont, the working version

@@ -79,3 +79,32 @@ def test_bf16_trajectory_close_to_f32(setup):
             losses.append(float(loss))
         traj[prec] = np.asarray(losses)
     np.testing.assert_allclose(traj["bfloat16"], traj[None], rtol=0.02)
+
+
+def test_bf16_activation_step_trajectory(setup):
+    """The --bf16 mixed-precision path (bf16 activations, f32 optimizer/
+    BN stats/loss reduction) tracks the f32 loss trajectory."""
+    import jax
+    import jax.numpy as jnp
+
+    from mural_tpu.train.packed import make_packed_train_step, pack_state
+
+    model, fresh_state, (y, cat, codes, mask) = setup
+    rng = jax.random.key(5)
+    s32 = pack_state(fresh_state())
+    s16 = pack_state(fresh_state())
+    step32 = make_packed_train_step(model, s32, donate=False)
+    step16 = make_packed_train_step(model, s16, donate=False, bf16=True)
+    l32s, l16s = [], []
+    for _ in range(8):
+        s32, l32, _ = step32(s32, y, cat, None, codes, mask, rng)
+        s16, l16, _ = step16(s16, y, cat, None, codes, mask, rng)
+        l32s.append(float(l32)); l16s.append(float(l16))
+    assert np.all(np.isfinite(l16s))
+    # bf16 rounding wiggles each step; the trajectory must stay within
+    # a small relative band of f32
+    np.testing.assert_allclose(l16s, l32s, rtol=2e-2)
+    # the model actually learned in bf16
+    assert l16s[-1] < l16s[0]
+    # batch stats remained f32 and finite
+    assert np.all(np.isfinite(np.asarray(s16.flat_stats)))
