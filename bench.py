@@ -164,22 +164,28 @@ def main():
                                      rng)
     single_value = BATCH / dt_single
 
-    # --- production path: K=8 scan steps per dispatch (loop default) ---
+    # --- K=8 scan steps per dispatch (loop default) --------------------
     from mural_tpu.train.packed import make_packed_train_step_scan
     K = 8
-    stepK = make_packed_train_step_scan(model, fresh_state())
     ys = jnp.broadcast_to(y, (K,) + y.shape)
     cats = jnp.broadcast_to(cat, (K,) + cat.shape)
     codess = jnp.broadcast_to(codes, (K,) + codes.shape)
     masks = jnp.broadcast_to(mask, (K,) + mask.shape)
-    stK = fresh_state()
-    stK, losses, _ = stepK(stK, ys, cats, None, codess, masks, rng)
-    losses.block_until_ready()
-    t0 = time.time()
-    for _ in range(ITERS):
+
+    def _measure_scan(stepK):
+        stK = fresh_state()
         stK, losses, _ = stepK(stK, ys, cats, None, codess, masks, rng)
-    losses.block_until_ready()
-    dt_f32 = (time.time() - t0) / ITERS / K
+        losses.block_until_ready()
+        t0 = time.time()
+        for _ in range(ITERS):
+            stK, losses, _ = stepK(stK, ys, cats, None, codess, masks,
+                                   rng)
+        losses.block_until_ready()
+        return (time.time() - t0) / ITERS / K
+
+    # production path (f32): the headline
+    dt_f32 = _measure_scan(make_packed_train_step_scan(model,
+                                                       fresh_state()))
     value = BATCH / dt_f32
     mfu = (flops / dt_f32 / V5E_BF16_PEAK_FLOPS) if flops else None
 
@@ -191,16 +197,9 @@ def main():
     bf16_value = BATCH / dt_bf16
 
     # --- bf16 + K-scan: the fastest opt-in configuration ---------------
-    stepK16 = make_packed_train_step_scan(model, fresh_state(), bf16=True)
-    stK16 = fresh_state()
-    stK16, losses, _ = stepK16(stK16, ys, cats, None, codess, masks, rng)
-    losses.block_until_ready()
-    t0 = time.time()
-    for _ in range(ITERS):
-        stK16, losses, _ = stepK16(stK16, ys, cats, None, codess, masks,
-                                   rng)
-    losses.block_until_ready()
-    bf16_scan_value = BATCH * K * ITERS / (time.time() - t0)
+    dt_bf16_scan = _measure_scan(make_packed_train_step_scan(
+        model, fresh_state(), bf16=True))
+    bf16_scan_value = BATCH / dt_bf16_scan
 
     # --- end-to-end epoch ----------------------------------------------
     try:

@@ -241,10 +241,11 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     # validation data (np.unique, matching the reference's vendored
     # dirichletcal), so a class that never occurs there crashes the
     # Newton solver with an obscure shape error after a full epoch
-    seen = np.unique(np.concatenate([ds_train.y, ds_valid.y]))
-    if seen.max() >= opts.n_class:
+    y_max = max(int(ds_train.y.max(initial=0)),
+                int(ds_valid.y.max(initial=0)))
+    if y_max >= opts.n_class:
         raise ValueError(
-            f"data contains mutation class {int(seen.max())} but "
+            f"data contains mutation class {y_max} but "
             f"--n_class is {opts.n_class}")
     seen_valid = np.unique(ds_valid.y)
     if len(seen_valid) < opts.n_class:
@@ -491,6 +492,7 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
         # the TPU transport and dominated the epoch time)
         total_loss_dev = jnp.zeros((), jnp.float32)
         batch_count = 0
+        next_progress = 1000
         fetch_t = 0.0
         train_t = 0.0
         t0 = time.time()
@@ -529,10 +531,11 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
                 total_loss_dev = total_loss_dev + loss
                 batch_count += 1
             train_t += time.time() - t1
-            if batch_count % 1000 < k_scan and batch_count >= 1000:
+            if batch_count >= next_progress:
                 printer(f"Batch {batch_count}: fetch {fetch_t:.1f}s, "
                         f"train {train_t:.1f}s (last 1000, async)")
                 fetch_t = train_t = 0.0
+                next_progress += 1000
             t0 = time.time()
 
         if profiling:

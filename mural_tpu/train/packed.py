@@ -61,8 +61,19 @@ class TreeSpec:
 
 
 def pack_tree(tree: Any, spec: TreeSpec) -> jnp.ndarray:
-    """Pytree -> (total,) f32 vector.  Traceable."""
+    """Pytree -> (total,) f32 vector.  Traceable.
+
+    The shape check guards the silent-misalignment hazard: a tree whose
+    structure drifted from the spec (e.g. a flax upgrade changing the
+    batch_stats collection) would otherwise concatenate into offsets
+    that ``unpack_tree`` slices wrongly, corrupting values undetected.
+    """
     leaves = jax.tree.leaves(tree)
+    if tuple(tuple(l.shape) for l in leaves) != spec.shapes:
+        raise ValueError(
+            f"tree does not match its pack spec: {len(leaves)} leaves "
+            f"{[tuple(l.shape) for l in leaves][:5]}... vs spec "
+            f"{len(spec.shapes)} leaves {list(spec.shapes)[:5]}...")
     if not leaves:
         return jnp.zeros((0,), jnp.float32)
     return jnp.concatenate([jnp.ravel(l) for l in leaves])
@@ -145,15 +156,13 @@ def pack_state(state: TrainState) -> PackedTrainState:
 
 def make_packed_train_step(model, pstate: PackedTrainState,
                            donate: bool = True,
-                           matmul_precision: Optional[str] = None,
                            bf16: bool = False):
     """Same math as ``steps.make_train_step`` on the packed state.
     Output pytree is ~10 leaves instead of ~480.
 
     ``bf16``: bfloat16 activations/compute (params cast at use, f32
     optimizer + BatchNorm statistics + loss reduction) -- halves the
-    step's HBM working set, measured 1.65x on the SNV train step.
-    ``matmul_precision`` keeps the older matmul-only control."""
+    step's HBM working set, measured 1.65x on the SNV train step."""
     p_spec, s_spec, tx = pstate.p_spec, pstate.s_spec, pstate.tx
     act_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
@@ -164,16 +173,12 @@ def make_packed_train_step(model, pstate: PackedTrainState,
         rng = jax.random.fold_in(base_rng, ps.step)
 
         def loss_fn(flat_p):
-            import contextlib
-            ctx = (jax.default_matmul_precision(matmul_precision)
-                   if matmul_precision else contextlib.nullcontext())
             params = unpack_tree(flat_p, p_spec)
             stats = unpack_tree(ps.flat_stats, s_spec)
-            with ctx:
-                logits, new_stats = _forward(model, params, stats, cat,
-                                             cont, distal_codes, True,
-                                             rng, distal_tracks,
-                                             dtype=act_dtype)
+            logits, new_stats = _forward(model, params, stats, cat,
+                                         cont, distal_codes, True,
+                                         rng, distal_tracks,
+                                         dtype=act_dtype)
             loss = masked_ce_sum(logits, y, mask)
             return loss, pack_tree(new_stats, s_spec)
 
@@ -191,7 +196,6 @@ def make_packed_train_step(model, pstate: PackedTrainState,
 
 
 def make_packed_train_step_scan(model, pstate: PackedTrainState,
-                                matmul_precision: Optional[str] = None,
                                 bf16: bool = False):
     """K train steps per dispatch via ``lax.scan`` over stacked batches.
 
@@ -218,16 +222,12 @@ def make_packed_train_step_scan(model, pstate: PackedTrainState,
             rng = jax.random.fold_in(base_rng, ps.step)
 
             def loss_fn(flat_p):
-                import contextlib
-                ctx = (jax.default_matmul_precision(matmul_precision)
-                       if matmul_precision else contextlib.nullcontext())
                 params = unpack_tree(flat_p, p_spec)
                 stats = unpack_tree(ps.flat_stats, s_spec)
-                with ctx:
-                    logits, new_stats = _forward(model, params, stats,
-                                                 cat, cont, codes, True,
-                                                 rng, tracks,
-                                                 dtype=act_dtype)
+                logits, new_stats = _forward(model, params, stats,
+                                             cat, cont, codes, True,
+                                             rng, tracks,
+                                             dtype=act_dtype)
                 loss = masked_ce_sum(logits, y, mask)
                 return loss, pack_tree(new_stats, s_spec)
 
