@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mural_tpu.models.layers import TorchBatchNorm, upsample_nearest
+from mural_tpu.models.layers import (TorchBatchNorm, global_max_1d,
+                                      upsample_nearest)
 
 
 class ConvBlock(nn.Module):
@@ -97,7 +98,7 @@ class UNetSmall(nn.Module):
         out = nn.relu(out)
         out = nn.Conv(channels[0], (1,), name="out_conv2")(out)
         out = jax.nn.softplus(out)
-        out = jnp.max(out, axis=1)
+        out = global_max_1d(out)
         out = TorchBatchNorm(name="out_fc_bn")(out, not train)
         out = nn.Dropout(0.1, deterministic=not train, name="out_fc_drop")(out)
         out = nn.Dense(self.n_class, name="out_fc")(out)

@@ -87,6 +87,37 @@ _windowed_first_max.defvjp(_windowed_first_max_fwd,
                            _windowed_first_max_bwd)
 
 
+@jax.custom_vjp
+def global_max_1d(x: jnp.ndarray) -> jnp.ndarray:
+    """(N, L, C) -> (N, C) max over the length axis with an
+    argmax-residual VJP (torch ``max(dim)`` first-index tie routing).
+
+    The default ``jnp.max`` VJP compares the input against the stored
+    max to locate it; under XLA fusion/rematerialisation in the bf16
+    mixed-precision path the comparison can run against a
+    differently-rounded recompute and match NOWHERE, silently zeroing
+    the gradient of everything upstream (observed on the INDEL U-Net
+    head: every encoder/decoder gradient exactly 0).  Routing through
+    the stored argmax index is immune to that."""
+    return jnp.max(x, axis=1)
+
+
+def _global_max_1d_fwd(x):
+    idx = jnp.argmax(x, axis=1).astype(jnp.int32)
+    return jnp.max(x, axis=1), (idx, jnp.zeros((x.shape[1],), x.dtype))
+
+
+def _global_max_1d_bwd(res, g):
+    idx, stub = res
+    L = stub.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, L, 1), 1)
+    mask = iota == idx[:, None, :]
+    return (jnp.where(mask, g[:, None, :], 0).astype(stub.dtype),)
+
+
+global_max_1d.defvjp(_global_max_1d_fwd, _global_max_1d_bwd)
+
+
 def max_pool1d(x: jnp.ndarray, kernel: int, stride: int,
                padding: int) -> jnp.ndarray:
     """torch.nn.MaxPool1d semantics on (N, L, C): low padding, floor len.
@@ -169,11 +200,17 @@ class TorchBatchNorm(nn.Module):
         inv = jax.lax.rsqrt(var + self.epsilon)
         if x.dtype == jnp.float32:
             return (x - mean) * inv * scale + bias
-        # low-precision activations: fold to one fused multiply-add pass
-        # in x.dtype (an (x - mean) form would upcast the whole tensor)
-        a = inv * scale.astype(jnp.float32)
-        d = bias.astype(jnp.float32) - mean * a
-        return x * a.astype(x.dtype) + d.astype(x.dtype)
+        # low-precision activations: normalise in f32 and cast only the
+        # result.  XLA fuses the upcast into the elementwise kernel
+        # (registers, no f32 memory pass).  A folded x*a + d form is NOT
+        # safe here: for a near-constant input var ~ 0 makes
+        # inv ~ 1/sqrt(eps) ~ 316, so x*a and d are O(hundreds) that
+        # cancel to O(1) -- below bf16's absolute resolution at that
+        # magnitude, which zeroed a whole U-Net level's forward (and
+        # with it every upstream gradient).
+        return ((x.astype(jnp.float32) - mean) * inv
+                * scale.astype(jnp.float32)
+                + bias.astype(jnp.float32)).astype(x.dtype)
 
 
 class BNConv(nn.Module):
@@ -257,7 +294,7 @@ class ResNetTower(nn.Module):
         x = jump[:, :x.shape[1], :] + x
         x = max_pool1d(x, *self.pools[2])
         x = BNConv(self.out_channels, k, relu=True, name="conv3")(x, train)
-        return jnp.max(x, axis=1)
+        return global_max_1d(x)
 
 
 MID_POOLS = ((3, 3, 1), (3, 3, 1), (3, 3, 1))

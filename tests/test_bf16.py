@@ -108,3 +108,50 @@ def test_bf16_activation_step_trajectory(setup):
     assert l16s[-1] < l16s[0]
     # batch stats remained f32 and finite
     assert np.all(np.isfinite(np.asarray(s16.flat_stats)))
+
+
+def test_bf16_unet_gradients_alive():
+    """Regression: the default jnp.max VJP could match nowhere under
+    XLA fusion/remat in the bf16 path (comparison against a
+    differently-rounded recompute), silently zeroing every U-Net
+    encoder/decoder gradient.  global_max_1d routes through the stored
+    argmax instead; every layer must receive gradient in bf16."""
+    import jax
+    import jax.numpy as jnp
+
+    from mural_tpu.models.init import materialize_variables
+    from mural_tpu.models.registry import build_model
+    from mural_tpu.train.steps import _forward, masked_ce_sum
+
+    B, W = 4, 64
+    config = dict(CNN_out_channels=4, CNN_kernel_size=3,
+                  down_list=[1, 2, 2, 2, 2, 2], use_reverse=False)
+    common = dict(emb_dims=[(17, 2)] * 9, n_cont=0, n_class=4,
+                  distal_order=1, in_channels=4)
+    model = build_model(0, config, common, "indel")
+    rng = np.random.default_rng(0)
+    codes = jnp.asarray(rng.integers(0, 4, (B, W)).astype(np.uint8))
+    y = jnp.asarray(rng.integers(0, 4, B).astype(np.int32))
+    cat = jnp.asarray(rng.integers(0, 17, (B, 9)).astype(np.int32))
+    mask = jnp.ones(B, jnp.float32)
+    template = jax.eval_shape(
+        lambda k, c, d: model.init(k, c, None, d, False),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),
+        jax.ShapeDtypeStruct((2, 9), jnp.int32),
+        jax.ShapeDtypeStruct((2, W, 4), jnp.float32))
+    variables = materialize_variables(
+        {"params": template["params"],
+         "batch_stats": template["batch_stats"]}, 0)
+
+    def loss_fn(p):
+        logits, _ = _forward(model, p, variables["batch_stats"], cat,
+                             None, codes, True, jax.random.key(0),
+                             dtype=jnp.bfloat16)
+        return masked_ce_sum(logits, y, mask)
+
+    grads = jax.jit(jax.grad(loss_fn))(variables["params"])
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    dead = ["/".join(p.key for p in path) for path, g in flat
+            if "kernel" in [p.key for p in path]
+            and float(jnp.linalg.norm(g.astype(jnp.float32))) == 0.0]
+    assert not dead, f"zero-gradient kernels in bf16: {dead}"
