@@ -70,10 +70,10 @@ def _learning_args(p, lr_default):
                         "statistics and loss reduction). ~1.65x faster; "
                         "loss trajectory within tolerance of float32.")
     g.add_argument("--steps_per_dispatch", type=int, metavar="INT",
-                   default=8,
+                   default=None,
                    help="Train steps fused into one device dispatch "
                         "(lax.scan); amortises per-dispatch overhead. "
-                        "1 disables. Default: 8.")
+                        "1 disables. Default: 8 (SNV), 1 (INDEL).")
     return g
 
 

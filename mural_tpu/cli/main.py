@@ -158,7 +158,7 @@ def _base_train_opts(args, model_type: str):
         dp_devices=getattr(args, "dp_devices", 1),
         profile_dir=getattr(args, "profile_dir", None),
         bf16=getattr(args, "bf16", False),
-        steps_per_dispatch=getattr(args, "steps_per_dispatch", 8),
+        steps_per_dispatch=getattr(args, "steps_per_dispatch", None),
     )
 
 

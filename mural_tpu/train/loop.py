@@ -75,7 +75,8 @@ class TrainOptions:
     dp_devices: int = 1                # data-parallel mesh size
     profile_dir: Optional[str] = None  # capture a jax profiler trace
     bf16: bool = False                 # bf16 activations (f32 opt/BN)
-    steps_per_dispatch: int = 8        # K-scan train steps per dispatch
+    steps_per_dispatch: Optional[int] = None  # K-scan steps per dispatch
+                                       # (None = auto: 8 SNV, 1 INDEL)
 
 
 def split_segments_like_torch(n_segments: int, valid_ratio: float,
@@ -346,8 +347,14 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     train_step = make_packed_train_step(model, state, bf16=opts.bf16)
     # K steps per dispatch amortise the fixed per-dispatch cost; the
     # leftover (< K) batches at the epoch end run the single step.
+    # Auto default: 8 for the millisecond-scale SNV step (dispatch-
+    # bound), 1 for the INDEL U-Net (a ~20-35 ms step gains nothing and
+    # the scanned program's buffer pressure measurably hurts bf16).
     # Disabled while profiling (per-batch timing stays legible).
-    k_scan = max(1, opts.steps_per_dispatch)
+    if opts.steps_per_dispatch is None:
+        k_scan = 8 if model_type == "snv" else 1
+    else:
+        k_scan = max(1, opts.steps_per_dispatch)
     if opts.profile_dir is not None:
         k_scan = 1
     train_step_scan = (make_packed_train_step_scan(
