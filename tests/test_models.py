@@ -202,3 +202,32 @@ def test_torch_style_init_stats():
             fin = leaf.shape[0]
             std = np.asarray(leaf).std()
             assert abs(std - np.sqrt(2 / fin)) < 0.5 * np.sqrt(2 / fin)
+
+
+def test_snv_max_reference_window():
+    """The reference supports expanded windows up to 64,000 bp
+    (CHANGELOG:16-20); the dual-tower pyramid must handle
+    distal_radius 32000 without shape or numerics failures."""
+    import jax
+    import jax.numpy as jnp
+
+    from mural_tpu.models.layers import one_hot_from_codes
+    from mural_tpu.models.registry import build_model
+
+    radius = 32000
+    W = 2 * radius + 1
+    config = dict(local_order=3, local_hidden1_size=10,
+                  local_hidden2_size=5, emb_dropout=0.1,
+                  local_dropout=0.1, CNN_out_channels=4,
+                  CNN_kernel_size=3, distal_fc_dropout=0.25)
+    common = dict(emb_dims=[(65, 2)] * 13, n_cont=0, n_class=4,
+                  distal_order=1, in_channels=4)
+    model = build_model(2, config, common, "snv")
+    rng = np.random.default_rng(0)
+    cat = jnp.asarray(rng.integers(0, 65, (2, 13)).astype(np.int32))
+    codes = jnp.asarray(rng.integers(0, 15, (2, W)).astype(np.uint8))
+    v = model.init(jax.random.key(0), cat, None,
+                   one_hot_from_codes(codes), False)
+    out = model.apply(v, cat, None, one_hot_from_codes(codes), False)
+    assert out.shape == (2, 4)
+    assert bool(jnp.isfinite(out).all())
