@@ -141,3 +141,47 @@ def test_streaming_eval_chunked(tiny_genome, tmp_path, rng, monkeypatch):
         printer=lambda *a: None)
     for k in reg_big:
         assert reg_big[k][0] == pytest.approx(reg_small[k][0], abs=1e-12)
+
+
+def test_prefetch_stacked_groups_and_leftovers():
+    from mural_tpu.data.batcher import Batch
+    from mural_tpu.data.prefetch import (DeviceBatch, StackedDeviceBatch,
+                                         prefetch_stacked)
+
+    def gen(n):
+        for i in range(n):
+            yield Batch(y=np.full(4, i, np.int32),
+                        cat=np.zeros((4, 2), np.int32), cont=None,
+                        distal=np.zeros((4, 8), np.uint8),
+                        n_valid=3 if i == n - 1 else 4,
+                        rows=np.arange(4))
+
+    items = list(prefetch_stacked(gen(11), k=4, size=2))
+    kinds = [type(x).__name__ for x in items]
+    assert kinds == ["StackedDeviceBatch", "StackedDeviceBatch",
+                     "DeviceBatch", "DeviceBatch", "DeviceBatch"]
+    s0 = items[0]
+    assert s0.k == 4 and s0.y.shape == (4, 4)
+    # batch order preserved through stacking
+    assert [int(v) for v in np.asarray(s0.y)[:, 0]] == [0, 1, 2, 3]
+    assert s0.n_valids == [4, 4, 4, 4]
+    # final leftover single carries its short n_valid mask
+    last = items[-1]
+    assert last.n_valid == 3
+    assert float(np.asarray(last.mask).sum()) == 3.0
+
+
+def test_prefetch_stacked_error_propagates():
+    import pytest
+    from mural_tpu.data.batcher import Batch
+    from mural_tpu.data.prefetch import prefetch_stacked
+
+    def gen():
+        yield Batch(y=np.zeros(2, np.int32),
+                    cat=np.zeros((2, 1), np.int32), cont=None,
+                    distal=np.zeros((2, 4), np.uint8), n_valid=2,
+                    rows=np.arange(2))
+        raise RuntimeError("producer exploded")
+
+    with pytest.raises(RuntimeError, match="producer exploded"):
+        list(prefetch_stacked(gen(), k=4, size=2))
