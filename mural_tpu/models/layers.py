@@ -70,21 +70,54 @@ def _windowed_first_max(xw: jnp.ndarray) -> jnp.ndarray:
 def _windowed_first_max_fwd(xw):
     # residual is only the (first-)argmax index plus a size-k stub to
     # carry the static window size/dtype: the backward then reads k
-    # times less data than a mask-over-xw formulation
-    idx = jnp.argmax(xw, axis=2).astype(jnp.int32)
+    # times less data than a mask-over-xw formulation.  int16 indices
+    # (window size is at most a few hundred) halve the broadcast-compare
+    # traffic of the backward.
+    idx = jnp.argmax(xw, axis=2).astype(jnp.int16)
     return jnp.max(xw, axis=2), (idx, jnp.zeros((xw.shape[2],), xw.dtype))
 
 
 def _windowed_first_max_bwd(res, g):
     idx, stub = res
     k = stub.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k, 1), 2)
+    iota = jax.lax.broadcasted_iota(jnp.int16, (1, 1, k, 1), 2)
     mask = iota == idx[:, :, None, :]
     return (jnp.where(mask, g[:, :, None, :], 0).astype(stub.dtype),)
 
 
 _windowed_first_max.defvjp(_windowed_first_max_fwd,
                            _windowed_first_max_bwd)
+
+
+class OneHotEmbed(nn.Module):
+    """Drop-in ``nn.Embed`` (same ``embedding`` param, same init) whose
+    lookup is iota-compare + a ``Precision.HIGHEST`` matmul instead of a
+    gather.
+
+    TPU lowers small-table gathers to serial dynamic-slice loops and the
+    embedding *backward* to a scatter-add (profiled at ~0.2 ms/step of
+    the SNV train step); the one-hot matmul runs both directions on the
+    MXU.  Bit-identical: each output row is ``1.0 * table[idx]`` plus
+    exact zeros, and the gradient is the exact transpose.
+    """
+    num_embeddings: int
+    features: int
+
+    @nn.compact
+    def __call__(self, idx: jnp.ndarray) -> jnp.ndarray:
+        table = self.param(
+            "embedding",
+            nn.initializers.variance_scaling(1.0, "fan_in", "normal",
+                                             out_axis=0),
+            (self.num_embeddings, self.features))
+        oh = (idx[..., None] ==
+              jax.lax.broadcasted_iota(
+                  jnp.int32, (1,) * idx.ndim + (self.num_embeddings,),
+                  idx.ndim)).astype(table.dtype)
+        return jax.lax.dot_general(
+            oh, table,
+            dimension_numbers=(((idx.ndim,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
 
 
 @jax.custom_vjp

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mural_tpu.models.layers import (LARGE_POOLS, MID_POOLS, DistalFC,
-                                     ResNetTower, TorchBatchNorm)
+                                     OneHotEmbed, ResNetTower,
+                                     TorchBatchNorm)
 
 _EPS = 1e-9
 
@@ -48,7 +49,7 @@ class LocalBranch(nn.Module):
 
     @nn.compact
     def __call__(self, cat_x, cont_x, train: bool):
-        emb = nn.Embed(self.emb_vocab, 5, name="emb_layer")(cat_x)
+        emb = OneHotEmbed(self.emb_vocab, 5, name="emb_layer")(cat_x)
         local = emb.reshape(emb.shape[0], self.n_cat * 5)
         local = nn.Dropout(self.emb_dropout, deterministic=not train,
                            name="emb_dropout")(local)
