@@ -186,12 +186,14 @@ def main():
     # production path (f32): the headline.  The variants below are
     # informational; a remote-compile-service stall on one of them must
     # not sink the whole bench, so each falls back to None.
+    headline_fallback = False
     try:
         dt_f32 = _measure_scan(make_packed_train_step_scan(model,
                                                            fresh_state()))
         value = BATCH / dt_f32
     except Exception:
         dt_f32, value = dt_single, single_value
+        headline_fallback = True
     mfu = (flops / dt_f32 / V5E_BF16_PEAK_FLOPS) if flops else None
 
     # --- bf16-activation variant (--bf16 train flag) -------------------
@@ -226,10 +228,12 @@ def main():
         "mfu": round(mfu, 4) if mfu is not None else None,
         "step_flops": flops,
         "single_dispatch_windows_per_sec": round(single_value, 1),
+        "headline_fallback": headline_fallback or None,
         "bf16_windows_per_sec": (round(bf16_value, 1)
-                                 if bf16_value else None),
+                                 if bf16_value is not None else None),
         "bf16_scan_windows_per_sec": (round(bf16_scan_value, 1)
-                                      if bf16_scan_value else None),
+                                      if bf16_scan_value is not None
+                                      else None),
         "e2e_epoch_windows_per_sec": (round(e2e, 1)
                                       if e2e is not None else None),
     }))

@@ -24,6 +24,23 @@ from flax import linen as nn
 
 from mural_tpu.genome.encode import ONE_HOT_TABLE
 
+def _onehot_dot(idx: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """Table lookup as iota-compare + ``Precision.HIGHEST`` matmul.
+
+    TPU lowers small-table gathers to serial dynamic-slice loops and
+    their backward to scatter-adds; the one-hot matmul runs both
+    directions on the MXU and is bit-identical (each output row is
+    ``1.0 * table[idx]`` plus exact zeros, which f32 accumulation never
+    rounds).  Out-of-range indices one-hot to nothing (zero row)."""
+    n = table.shape[0]
+    oh = (idx[..., None].astype(jnp.int32) ==
+          jax.lax.broadcasted_iota(jnp.int32, (1,) * idx.ndim + (n,),
+                                   idx.ndim)).astype(table.dtype)
+    return jax.lax.dot_general(
+        oh, table, dimension_numbers=(((idx.ndim,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+
+
 def one_hot_from_codes(codes: jnp.ndarray,
                        dtype=jnp.float32) -> jnp.ndarray:
     """uint8 genome codes (N, L) -> fractional one-hot (N, L, 4).
@@ -31,14 +48,10 @@ def one_hot_from_codes(codes: jnp.ndarray,
     This is the device-side replacement for the reference's host
     ``seq_ohe_encoder`` (preprocessing.py:756-816).
 
-    Implemented as iota-compare + a tiny (16, 4) matmul rather than a
-    table gather: TPU lowers small-table gathers to a serial
-    dynamic-slice loop (profiled at ~1.5 ms for a (2048, 401) batch --
-    a third of the whole train step), while the compare+dot form is a
-    fused VPU/MXU op (~0.1 ms).  ``Precision.HIGHEST`` keeps the result
-    bit-identical to the gather: each output element is ``1.0 * T[code]``
-    plus exact zeros, and f32 accumulation never rounds those
-    (tests/test_models.py::test_one_hot_matches_table_gather).
+    Implemented via :func:`_onehot_dot` (the gather lowered to a serial
+    dynamic-slice loop profiled at ~1.5 ms for a (2048, 401) batch -- a
+    third of the whole train step; the compare+dot form is ~0.1 ms and
+    bit-identical, tests/test_models.py::test_one_hot_matches_table_gather).
 
     The table is materialised lazily (usually inside a trace, where it
     becomes a compile-time constant): a module-level ``jnp.asarray``
@@ -47,14 +60,9 @@ def one_hot_from_codes(codes: jnp.ndarray,
     prematurely.  Codes are 0..14 (N_CODE pads out-of-genome); the
     16th table row is zero so a 15 sentinel one-hots to nothing.
     """
-    oh16 = (codes[..., None] ==
-            jax.lax.broadcasted_iota(codes.dtype, (1,) * codes.ndim + (16,),
-                                     codes.ndim)).astype(dtype)
     table = jnp.asarray(np.concatenate(
         [ONE_HOT_TABLE, np.zeros((1, 4), np.float32)]), dtype)
-    return jax.lax.dot_general(
-        oh16, table, dimension_numbers=(((codes.ndim,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST)
+    return _onehot_dot(codes, table)
 
 
 @jax.custom_vjp
@@ -72,7 +80,11 @@ def _windowed_first_max_fwd(xw):
     # carry the static window size/dtype: the backward then reads k
     # times less data than a mask-over-xw formulation.  int16 indices
     # (window size is at most a few hundred) halve the broadcast-compare
-    # traffic of the backward.
+    # traffic of the backward; guard the dtype assumption so a future
+    # giant-window pool fails loudly instead of wrapping silently.
+    if xw.shape[2] > 32767:
+        raise ValueError(
+            f"pool window {xw.shape[2]} exceeds the int16 index range")
     idx = jnp.argmax(xw, axis=2).astype(jnp.int16)
     return jnp.max(xw, axis=2), (idx, jnp.zeros((xw.shape[2],), xw.dtype))
 
@@ -110,14 +122,7 @@ class OneHotEmbed(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in", "normal",
                                              out_axis=0),
             (self.num_embeddings, self.features))
-        oh = (idx[..., None] ==
-              jax.lax.broadcasted_iota(
-                  jnp.int32, (1,) * idx.ndim + (self.num_embeddings,),
-                  idx.ndim)).astype(table.dtype)
-        return jax.lax.dot_general(
-            oh, table,
-            dimension_numbers=(((idx.ndim,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST)
+        return _onehot_dot(idx, table)
 
 
 @jax.custom_vjp
