@@ -231,3 +231,51 @@ def test_snv_max_reference_window():
     out = model.apply(v, cat, None, one_hot_from_codes(codes), False)
     assert out.shape == (2, 4)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_onehot_embed_matches_nn_embed():
+    """OneHotEmbed (iota-compare + HIGHEST matmul) is bit-identical to
+    nn.Embed's gather in both directions, with the same param path."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from mural_tpu.models.layers import OneHotEmbed
+
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, 65, (16, 13)).astype(np.int32))
+    ours = OneHotEmbed(65, 5, name="emb_layer")
+    ref = nn.Embed(65, 5, name="emb_layer")
+    v = ref.init(jax.random.key(1), idx)
+    assert "embedding" in v["params"]
+    out_ours = ours.apply(v, idx)
+    out_ref = ref.apply(v, idx)
+    np.testing.assert_array_equal(np.asarray(out_ours),
+                                  np.asarray(out_ref))
+    g_ours = jax.grad(lambda p: (ours.apply(p, idx) ** 2).sum())(v)
+    g_ref = jax.grad(lambda p: (ref.apply(p, idx) ** 2).sum())(v)
+    np.testing.assert_allclose(
+        np.asarray(g_ours["params"]["embedding"]),
+        np.asarray(g_ref["params"]["embedding"]), rtol=1e-6, atol=1e-6)
+
+
+def test_global_max_1d_matches_jnp_max_and_torch_ties():
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from mural_tpu.models.layers import global_max_1d
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 50, 6)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(global_max_1d(x)),
+                                  np.asarray(jnp.max(x, axis=1)))
+    # tie routing: gradient goes to the FIRST max, like torch max(dim)
+    xt_np = np.zeros((2, 5, 3), np.float32)
+    xt_np[:, 1, :] = 2.0
+    xt_np[:, 3, :] = 2.0          # tied with position 1
+    g = np.asarray(jax.grad(
+        lambda v: global_max_1d(v).sum())(jnp.asarray(xt_np)))
+    tt = torch.tensor(xt_np.transpose(0, 2, 1), requires_grad=True)
+    tt.max(dim=2).values.sum().backward()
+    np.testing.assert_array_equal(g, tt.grad.numpy().transpose(0, 2, 1))
