@@ -254,9 +254,12 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
         raise ValueError(
             f"validation data never shows mutation class(es) {missing} "
             f"(observed {sorted(int(c) for c in seen_valid)}); Dirichlet "
-            f"calibration requires every class observed -- lower "
-            f"--n_class to match the data (the reference's dirichletcal "
-            f"fails the same way, only later and less clearly)")
+            f"calibration requires every class observed -- if the data "
+            f"really has fewer classes, lower --n_class; if the classes "
+            f"are just rare, raise --valid_ratio or try another "
+            f"--split_seed so the validation split samples them (the "
+            f"reference's dirichletcal fails the same way, only later "
+            f"and less clearly)")
 
     # --- config augmentation (training.py:170-177,246-255) ------------
     config = dict(config)

@@ -233,6 +233,27 @@ def test_snv_max_reference_window():
     assert bool(jnp.isfinite(out).all())
 
 
+def test_one_hot_matches_table_gather():
+    """one_hot_from_codes (iota-compare + HIGHEST dot) is bit-identical
+    to the naive table gather ONE_HOT_TABLE[codes], f32 and bf16 --
+    guards the gather->matmul rewrite cited in models/layers.py."""
+    import jax.numpy as jnp
+
+    from mural_tpu.genome.encode import NUM_CODES, ONE_HOT_TABLE
+    from mural_tpu.models.layers import one_hot_from_codes
+
+    rng = np.random.default_rng(42)
+    codes = rng.integers(0, NUM_CODES, (64, 37)).astype(np.uint8)
+    # include the 15 sentinel: must one-hot to an exact zero row
+    codes[0, :4] = NUM_CODES
+    table16 = np.concatenate([ONE_HOT_TABLE, np.zeros((1, 4), np.float32)])
+    for dtype in (jnp.float32, jnp.bfloat16):
+        got = np.asarray(one_hot_from_codes(jnp.asarray(codes), dtype))
+        want = table16.astype(dtype)[codes]
+        assert got.dtype == want.dtype
+        np.testing.assert_array_equal(got, np.asarray(want))
+
+
 def test_onehot_embed_matches_nn_embed():
     """OneHotEmbed (iota-compare + HIGHEST matmul) is bit-identical to
     nn.Embed's gather in both directions, with the same param path."""

@@ -97,3 +97,63 @@ def test_train_step_trajectory_matches_torch():
     # loss check above at rtol 2e-4 is the tight trajectory contract
     assert np.allclose(np.asarray(logits), ref, atol=2e-2), \
         np.abs(np.asarray(logits) - ref).max()
+
+
+def test_single_step_logits_match_torch_tight():
+    """One train step, then eval logits compared at a tolerance 400x
+    tighter than the 30-step trajectory check (atol 5e-5 vs 2e-2):
+    pins single-step parity of the embedding-lookup / pooling /
+    max-reduction kernel rewrites before reduction-order noise can
+    accumulate (ADVICE r2).  Uses SGD, not Adam: Adam's first step
+    moves every parameter by exactly +-lr regardless of gradient
+    magnitude, so a reduction-order sign flip on a ~0 gradient would
+    shift a parameter by the full 1e-3; the SGD update stays
+    proportional to the gradient, keeping kernel-level noise tiny."""
+    rng = np.random.default_rng(7)
+    B, K, Lw, C, n_class = 32, 13, 401, 8, 4
+    lr, wd = 1e-3, 0.0
+
+    model = SNVNet2(emb_vocab=65, n_cat=K, lin_layer_sizes=[48, 24],
+                    emb_dropout=0.0, lin_layer_dropouts=[0.0, 0.0],
+                    in_channels=4, out_channels=C, kernel_size=3,
+                    distal_fc_dropout=0.0, n_class=n_class)
+    cat = rng.integers(0, 65, size=(B, K)).astype(np.int32)
+    codes = rng.integers(0, 4, size=(B, Lw)).astype(np.uint8)
+    y = rng.integers(0, n_class, size=B).astype(np.int32)
+
+    variables = model.init(jax.random.key(0), jnp.asarray(cat), None,
+                           jnp.asarray(ONE_HOT_TABLE[codes]), False)
+    sched = LRSchedule.build("constant", lr, 0.9, B, 10_000, 1e-4, 1e-6)
+    state = create_train_state(model, variables, "SGD", wd, sched)
+    train_step = make_train_step(model, donate=False)
+    state, loss, _ = train_step(
+        state, jnp.asarray(y), jnp.asarray(cat), None,
+        jnp.asarray(codes), jnp.ones(B, jnp.float32), jax.random.key(1))
+
+    tmodel = TorchSNVNet2(65, K, [48, 24], 4, C, 3, n_class)
+    copy_flax_to_torch(variables, tmodel)
+    topt = torch.optim.SGD(tmodel.parameters(), lr=lr,
+                           momentum=0.98, nesterov=True,
+                           weight_decay=wd)
+    crit = torch.nn.CrossEntropyLoss(reduction="sum")
+    tmodel.train()
+    topt.zero_grad()
+    distal = torch.from_numpy(ONE_HOT_TABLE[codes].transpose(0, 2, 1).copy())
+    out = tmodel(torch.from_numpy(cat.astype(np.int64)), distal)
+    tl = crit(out, torch.from_numpy(y.astype(np.int64)))
+    tl.backward()
+    torch.nn.utils.clip_grad_norm_(tmodel.parameters(), max_norm=10)
+    topt.step()
+
+    assert float(loss) == pytest.approx(float(tl), rel=1e-5)
+
+    eval_step = make_eval_step(model)
+    logits, _ = eval_step(state.params, state.batch_stats,
+                          jnp.asarray(y), jnp.asarray(cat), None,
+                          jnp.asarray(codes), jnp.ones(B, jnp.float32))
+    tmodel.eval()
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(cat.astype(np.int64)),
+                     distal).numpy()
+    assert np.allclose(np.asarray(logits), ref, atol=5e-5), \
+        np.abs(np.asarray(logits) - ref).max()
