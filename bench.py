@@ -43,10 +43,42 @@ def _measure_step(step, state, y, cat, codes, mask, rng, iters=ITERS):
     return (time.time() - t0) / iters, state
 
 
+def _write_synthetic(td, n_genome, n_sites, rng):
+    """Random genome + mid-base-consistent BED ('+' on A, '-' on T)."""
+    import os
+
+    import numpy as np
+
+    from mural_tpu.genome.fasta import decode_sequence
+
+    codes = rng.integers(0, 4, size=n_genome).astype(np.uint8)
+    seq = decode_sequence(codes)
+    fa = os.path.join(td, "g.fa")
+    with open(fa, "w") as fh:
+        fh.write(">chr1\n")
+        for i in range(0, n_genome, 100_000):
+            fh.write(seq[i:i + 100_000] + "\n")
+    bed = os.path.join(td, "s.bed")
+    pos_a = np.nonzero(codes == 0)[0]
+    pos_t = np.nonzero(codes == 3)[0]
+    take = n_sites // 2
+    sel_a = np.sort(rng.choice(pos_a, take, replace=False))
+    sel_t = np.sort(rng.choice(pos_t, take, replace=False))
+    rows = ([(int(p), "+") for p in sel_a]
+            + [(int(p), "-") for p in sel_t])
+    rows.sort(key=lambda r: r[0])
+    with open(bed, "w") as fh:
+        for p, strand in rows:
+            fh.write(f"chr1\t{p}\t{p + 1}\t.\t"
+                     f"{int(rng.integers(0, 4))}\t{strand}\n")
+    return fa, bed, len(rows)
+
+
 def _e2e_epoch_rate():
-    """Full train_trial epoch on synthetic data: host batching +
-    prefetch + train steps + validation + FullDiri calibration +
-    checkpoint write, measured end to end."""
+    """Full train_trial steady-state epoch at production scale (1M
+    sites, reference-default SNV hyperparameters, B=2048): host
+    permutation + device-resident epoch dispatch + validation +
+    FullDirichlet calibration + checkpoint tail, end to end."""
     import os
     import tempfile
 
@@ -56,38 +88,14 @@ def _e2e_epoch_rate():
 
     rng = np.random.default_rng(0)
     with tempfile.TemporaryDirectory() as td:
-        from mural_tpu.genome.fasta import decode_sequence
-        n = 2_000_000
-        codes = rng.integers(0, 4, size=n).astype(np.uint8)
-        seq = decode_sequence(codes)
-        fa = os.path.join(td, "g.fa")
-        with open(fa, "w") as fh:
-            fh.write(">chr1\n")
-            for i in range(0, n, 10000):
-                fh.write(seq[i:i + 10000] + "\n")
-        # '+' sites on A, '-' sites on T (uniform focal base per strand,
-        # the reference's mid-base requirement)
-        bed = os.path.join(td, "s.bed")
-        pos_a = np.nonzero(codes == 0)[0]
-        pos_t = np.nonzero(codes == 3)[0]
-        take = 30_000
-        sel_a = np.sort(rng.choice(pos_a, take, replace=False))
-        sel_t = np.sort(rng.choice(pos_t, take, replace=False))
-        rows = ([("chr1", int(p), "+") for p in sel_a]
-                + [("chr1", int(p), "-") for p in sel_t])
-        rows.sort(key=lambda r: r[1])
-        with open(bed, "w") as fh:
-            for chrom, p, strand in rows:
-                fh.write(f"{chrom}\t{p}\t{p + 1}\t.\t"
-                         f"{int(rng.integers(0, 4))}\t{strand}\n")
-        n_sites = len(rows)
-
+        fa, bed, n_sites = _write_synthetic(td, 30_000_000, 1_000_000,
+                                            rng)
         config = dict(
             local_radius=7, local_order=3, local_dropout=0.1,
             distal_fc_dropout=0.25, emb_dropout=0.1,
             local_hidden1_size=150, local_hidden2_size=75,
             distal_radius=200, segment_center=300000,
-            sampled_segments=10, batch_size=512, optim="Adam",
+            sampled_segments=10, batch_size=2048, optim="Adam",
             learning_rate=1e-3, lr_scheduler="StepLR", LR_gamma=0.9,
             weight_decay=0.0, weight_decay_auto=None, restart_lr=1e-4,
             min_lr=1e-6, CNN_kernel_size=3, CNN_out_channels=32,
@@ -114,6 +122,141 @@ def _e2e_epoch_rate():
         else:
             epoch_s = time.time() - t0
         return n_sites * 0.9 / max(epoch_s, 1e-9)
+
+
+def _indel_step_rates():
+    """INDEL U-Net packed train step at the reference's human recipe
+    (radius 4000 -> W=8000, k7/ch8, down_list 1,4,5,5,5,2; B=64),
+    f32 and bf16 (ref model: MuRaL/model/model_indel.py:21-179)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mural_tpu.models.init import materialize_variables
+    from mural_tpu.models.registry import build_model
+    from mural_tpu.train.optim import LRSchedule
+    from mural_tpu.train.packed import make_packed_train_step, pack_state
+    from mural_tpu.train.state import create_train_state
+
+    B, W = 64, 8000
+    config = dict(CNN_out_channels=8, CNN_kernel_size=7,
+                  down_list=[1, 4, 5, 5, 5, 2], use_reverse=False)
+    common = dict(emb_dims=[], n_cont=0, n_class=8, distal_order=1,
+                  in_channels=4)
+    model = build_model(0, config, common, "indel")
+    template = jax.eval_shape(
+        lambda k, d: model.init(k, None, None, d, False),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),
+        jax.ShapeDtypeStruct((2, W, 4), jnp.float32))
+    variables_host = jax.tree.map(np.asarray, materialize_variables(
+        {"params": template["params"],
+         "batch_stats": template["batch_stats"]}, 0))
+    sched = LRSchedule.build("StepLR2", 1e-3, 0.98, B, 1_000_000,
+                             1e-4, 1e-6)
+    rng_np = np.random.default_rng(0)
+    y = jnp.asarray(rng_np.integers(0, 8, B).astype(np.int32))
+    codes = jnp.asarray(rng_np.integers(0, 15, (B, W)).astype(np.uint8))
+    mask = jnp.ones(B, jnp.float32)
+    rng = jax.random.key(1)
+
+    def fresh():
+        return pack_state(create_train_state(
+            model, jax.device_put(variables_host), "AdamW", 0.01, sched))
+
+    out = {}
+    for key, bf16 in (("f32", False), ("bf16", True)):
+        try:
+            step = make_packed_train_step(model, fresh(), donate=True,
+                                          bf16=bf16)
+            state = fresh()
+            state, loss, _ = step(state, y, None, None, codes, mask, rng)
+            loss.block_until_ready()
+            t0 = time.time()
+            iters = 20
+            for _ in range(iters):
+                state, loss, _ = step(state, y, None, None, codes, mask,
+                                      rng)
+            loss.block_until_ready()
+            out[key] = B / ((time.time() - t0) / iters)
+        except Exception:
+            out[key] = None
+    return out
+
+
+def _mini_pipeline():
+    """Planted-signal mini workflow: train -> predict -> 3-mer
+    correlation on held-out sites (the BASELINE 'rate-map correlation'
+    metric), plus a timed genome-wide predict slice."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    import numpy as np
+
+    from mural_tpu.train.loop import TrainOptions, train_trial
+
+    out = {"kmer_corr_3mer": None, "genome_predict_sites_per_sec": None}
+    with tempfile.TemporaryDirectory() as td:
+        ex = os.path.join(td, "ex")
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "examples", "make_example_data.py"),
+             "--out_dir", ex, "--genome_mb", "1", "--n_train", "60000",
+             "--n_valid", "15000", "--n_test", "30000"],
+            check=True, capture_output=True)
+
+        config = dict(
+            local_radius=7, local_order=3, local_dropout=0.1,
+            distal_fc_dropout=0.25, emb_dropout=0.1,
+            local_hidden1_size=150, local_hidden2_size=75,
+            distal_radius=200, segment_center=300000,
+            sampled_segments=10, batch_size=512, optim="Adam",
+            learning_rate=1e-3, lr_scheduler="StepLR", LR_gamma=0.9,
+            weight_decay=0.0, weight_decay_auto=None, restart_lr=1e-4,
+            min_lr=1e-6, CNN_kernel_size=3, CNN_out_channels=32,
+            transfer_learning=False)
+        trial_dir = os.path.join(td, "t")
+        opts = TrainOptions(
+            train_data=os.path.join(ex, "training.sorted.bed"),
+            ref_genome=os.path.join(ex, "seq.fa"),
+            validation_data=os.path.join(ex, "validation.sorted.bed"),
+            n_class=4, model_no=2, epochs=4, grace_period=4,
+            trial_dir=trial_dir, rng_seed=0)
+        metrics = train_trial(config, opts, "snv")
+        best = metrics.get("epoch", 0)
+        ck = os.path.join(trial_dir, f"checkpoint_{best}")
+
+        from mural_tpu.predict.pipeline import PredictOptions, run_predict
+        popts = PredictOptions(
+            test_data=os.path.join(ex, "testing.bed.gz"),
+            ref_genome=os.path.join(ex, "seq.fa"),
+            model_path=os.path.join(ck, "model"),
+            model_config_path=os.path.join(ck, "model.config.pkl"),
+            calibrator_path=os.path.join(ck, "model.fdiri_cal.pkl"),
+            pred_file="", pred_batch_size=2048, kmer_corr=[3])
+        pred_df = run_predict(popts, "snv", printer=lambda *a: None)
+        corr = pred_df.attrs.get("kmer_corr", {}).get(3)
+        if corr:
+            out["kmer_corr_3mer"] = float(np.mean(corr))
+
+        # genome-wide predict: the whole 1 Mb synthetic chromosome
+        from mural_tpu.predict.genome_wide import (GenomePredictOptions,
+                                                   run_genome_predict)
+        gopts = GenomePredictOptions(
+            ref_genome=os.path.join(ex, "seq.fa"),
+            model_path=os.path.join(ck, "model"),
+            model_config_path=os.path.join(ck, "model.config.pkl"),
+            calibrator_path=os.path.join(ck, "model.fdiri_cal.pkl"),
+            pred_file=os.path.join(td, "gp.tsv.gz"),
+            batch_size=2048, progress_every=10**9)
+        t0 = time.time()
+        n_written = run_genome_predict(gopts, "snv",
+                                       printer=lambda *a: None)
+        out["genome_predict_sites_per_sec"] = n_written / (time.time()
+                                                           - t0)
+    return out
 
 
 def main():
@@ -224,6 +367,22 @@ def main():
     except Exception:
         e2e = None
 
+    # --- INDEL U-Net step rates ----------------------------------------
+    try:
+        indel = _indel_step_rates()
+    except Exception:
+        indel = {"f32": None, "bf16": None}
+
+    # --- planted-signal pipeline: k-mer corr + genome predict ----------
+    try:
+        pipe = _mini_pipeline()
+    except Exception:
+        pipe = {"kmer_corr_3mer": None,
+                "genome_predict_sites_per_sec": None}
+
+    def _r(x, nd=1):
+        return round(x, nd) if x is not None else None
+
     print(json.dumps({
         "metric": "snv_train_windows_per_sec_per_chip",
         "value": round(value, 1),
@@ -240,6 +399,11 @@ def main():
                                       else None),
         "e2e_epoch_windows_per_sec": (round(e2e, 1)
                                       if e2e is not None else None),
+        "indel_train_windows_per_sec": _r(indel.get("f32")),
+        "indel_bf16_windows_per_sec": _r(indel.get("bf16")),
+        "genome_predict_sites_per_sec": _r(
+            pipe.get("genome_predict_sites_per_sec")),
+        "kmer_corr_3mer": _r(pipe.get("kmer_corr_3mer"), 4),
     }))
 
 

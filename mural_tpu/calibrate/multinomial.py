@@ -146,7 +146,10 @@ class MultinomialRegression:
                           ref_row=self.ref_row, reg_format=self.reg_format)
             if (self.optimizer == "newton"
                     or (self.optimizer == "auto" and k <= 36)):
-                weights = _newton_solve(obj, w0, X_, target, self.method)
+                weights = _newton_solve(
+                    obj, w0, X_, target, self.method, k=k,
+                    reg_lambda=reg_lambda, reg_mu=reg_mu,
+                    ref_row=self.ref_row, reg_format=self.reg_format)
             elif (self.optimizer == "fmin_l_bfgs_b"
                     or (self.optimizer == "auto" and k > 36)):
                 import scipy.optimize
@@ -166,35 +169,101 @@ class MultinomialRegression:
         return self
 
 
-def _newton_solve(obj, w0, X, target, method) -> np.ndarray:
-    grad_fn = jax.jit(jax.grad(obj))
-    hess_fn = jax.jit(jax.hessian(obj))
-    obj_fn = jax.jit(obj)
+# first chunk = the 10 linear trial steps (1 .. 0.1); a healthy Newton
+# iteration improves within these, so the 31 tiny log-spaced steps are
+# only evaluated when it doesn't
+_LS_SPLIT = 10
 
+
+@partial(jax.jit, static_argnames=("k", "method", "ref_row",
+                                   "reg_format", "reg_mu_none"))
+def _newton_dir(weights, X, target, reg_lambda, reg_mu, *, k, method,
+                ref_row, reg_format, reg_mu_none):
+    """Gradient, pinv Newton direction and the first line-search chunk
+    in one dispatch.
+
+    The sequential reference loop evaluates the objective per trial
+    step with a host sync each time (up to 41 round trips per
+    iteration); evaluating a chunk of candidates in one vmapped call
+    computes the same losses at the same points, and the
+    first-improving selection happens on the returned vector -- same
+    optimum, far fewer dispatches and no wasted tail evaluations.
+    Module-level jit identity keeps the compiled programs cached across
+    per-epoch calibration fits (the round-2 code re-jitted fresh
+    closures inside every fit, recompiling each epoch).
+    """
+    obj = partial(_objective, k=k, method=method,
+                  reg_lambda=reg_lambda,
+                  reg_mu=None if reg_mu_none else reg_mu,
+                  ref_row=ref_row, reg_format=reg_format)
+    gradient = jax.grad(obj)(weights, X, target)
+    hessian = jax.hessian(obj)(weights, X, target)
+    if method == "FixDiag":
+        updates = gradient / hessian
+    else:
+        updates = jnp.linalg.pinv(hessian) @ gradient
+    steps = jnp.asarray(_STEPS[:_LS_SPLIT], weights.dtype)
+    cand = weights[None, :] - steps[:, None] * updates.ravel()[None, :]
+    Ls = jax.vmap(lambda w: obj(w, X, target))(cand)
+    return gradient, updates, cand, Ls
+
+
+@partial(jax.jit, static_argnames=("k", "method", "ref_row",
+                                   "reg_format", "reg_mu_none"))
+def _ls_tail(weights, updates, X, target, reg_lambda, reg_mu, *, k,
+             method, ref_row, reg_format, reg_mu_none):
+    """The remaining 31 log-spaced line-search candidates (rare path)."""
+    obj = partial(_objective, k=k, method=method,
+                  reg_lambda=reg_lambda,
+                  reg_mu=None if reg_mu_none else reg_mu,
+                  ref_row=ref_row, reg_format=reg_format)
+    steps = jnp.asarray(_STEPS[_LS_SPLIT:], weights.dtype)
+    cand = weights[None, :] - steps[:, None] * updates.ravel()[None, :]
+    Ls = jax.vmap(lambda w: obj(w, X, target))(cand)
+    return cand, Ls
+
+
+@partial(jax.jit, static_argnames=("k", "method", "ref_row",
+                                   "reg_format", "reg_mu_none"))
+def _obj_value(weights, X, target, reg_lambda, reg_mu, *, k, method,
+               ref_row, reg_format, reg_mu_none):
+    return _objective(weights, X, target, k=k, method=method,
+                      reg_lambda=reg_lambda,
+                      reg_mu=None if reg_mu_none else reg_mu,
+                      ref_row=ref_row, reg_format=reg_format)
+
+
+def _newton_solve(obj, w0, X, target, method, *, k, reg_lambda, reg_mu,
+                  ref_row, reg_format) -> np.ndarray:
     weights = jnp.asarray(w0, jnp.float64)
-    L_list = [float(obj_fn(weights, X, target))]
+    reg_mu_none = reg_mu is None
+    statics = dict(k=k, method=method, ref_row=ref_row,
+                   reg_format=reg_format, reg_mu_none=reg_mu_none)
+    rl = jnp.float64(reg_lambda)
+    rm = jnp.float64(0.0 if reg_mu_none else reg_mu)
+    L_list = [float(_obj_value(weights, X, target, rl, rm, **statics))]
 
     for i in range(_MAXITER):
-        gradient = grad_fn(weights, X, target)
+        gradient, updates, cand, Ls = _newton_dir(
+            weights, X, target, rl, rm, **statics)
         if float(jnp.abs(gradient).sum()) < _GTOL:
             break
-        hessian = hess_fn(weights, X, target)
-        if method == "FixDiag":
-            updates = gradient / hessian
+        Ls = np.asarray(Ls)
+        # reference line-search semantics: first step (largest to
+        # smallest) that improves; if none improves, the last tried
+        improving = np.nonzero(Ls - L_list[-1] < 0)[0]
+        if len(improving):
+            idx = int(improving[0])
         else:
-            try:
-                updates = jnp.linalg.pinv(hessian) @ gradient
-            except Exception as err:  # LinAlgError and friends
-                logger.error("pinv failed: %s", err)
-                updates = gradient
-
-        L = L_list[-1]
-        tmp_w = weights
-        for step in _STEPS:
-            tmp_w = weights - (updates * step).ravel()
-            L = float(obj_fn(tmp_w, X, target))
-            if L - L_list[-1] < 0:
-                break
+            cand2, Ls2 = _ls_tail(weights, updates, X, target, rl, rm,
+                                  **statics)
+            Ls2 = np.asarray(Ls2)
+            improving = np.nonzero(Ls2 - L_list[-1] < 0)[0]
+            idx = (int(improving[0]) if len(improving)
+                   else len(Ls2) - 1)
+            cand, Ls = cand2, Ls2
+        tmp_w = cand[idx]
+        L = float(Ls[idx])
         L_list.append(L)
 
         if np.isnan(L):

@@ -74,6 +74,13 @@ def _learning_args(p, lr_default):
                    help="Train steps fused into one device dispatch "
                         "(lax.scan); amortises per-dispatch overhead. "
                         "1 disables. Default: 8 (SNV), 1 (INDEL).")
+    g.add_argument("--resident_data", type=str, metavar="MODE",
+                   default="auto", choices=["auto", "on", "off"],
+                   help="Keep training data device-resident and run each "
+                        "epoch as one dispatch (window gather + encode "
+                        "in-graph). 'auto' enables it when the data fits "
+                        "the device budget and no per-base track "
+                        "channels are used. Default: auto.")
     return g
 
 
@@ -109,6 +116,12 @@ def _scheduler_args(p, default_experiment):
     g.add_argument("--n_parallel", type=int, metavar="INT", default=1,
                    help="Trials run concurrently, one per TPU device. "
                         "Default: 1.")
+    g.add_argument("--trial_executor", type=str, metavar="MODE",
+                   default="thread", choices=["thread", "process"],
+                   help="Concurrent-trial executor: 'thread' (shared "
+                        "process) or 'process' (spawned per trial; "
+                        "avoids GIL contention from evaluation tails "
+                        "on many-core hosts). Default: thread.")
     g.add_argument("--dp_devices", type=int, metavar="INT", default=1,
                    help="Data-parallel training over this many TPU "
                         "devices (batch sharded, grads all-reduced). "

@@ -159,6 +159,7 @@ def _base_train_opts(args, model_type: str):
         profile_dir=getattr(args, "profile_dir", None),
         bf16=getattr(args, "bf16", False),
         steps_per_dispatch=getattr(args, "steps_per_dispatch", None),
+        resident=getattr(args, "resident_data", "auto"),
     )
 
 
@@ -176,6 +177,7 @@ def cmd_train(args, model_type: str) -> int:
         use_scheduler=args.use_ray,
         n_parallel=args.n_parallel,
         rerun_failed=args.rerun_failed,
+        trial_executor=getattr(args, "trial_executor", "thread"),
     )
     run_experiment(space, opts, model_type, exp)
     return 0
@@ -197,13 +199,27 @@ def cmd_transfer(args, model_type: str) -> int:
     config["transfer_learning"] = True
     config["train_all"] = args.train_all
     config["init_fc_with_pretrained"] = args.init_fc_with_pretrained
-    # CLI-overridable learning parameters (TL script :225-254)
-    config["batch_size"] = args.batch_size[0]
-    config["optim"] = args.optim[0]
-    config["learning_rate"] = args.learning_rate[0]
-    config["lr_scheduler"] = args.lr_scheduler[0]
-    config["LR_gamma"] = args.LR_gamma[0]
-    config["weight_decay"] = args.weight_decay[0]
+    # CLI-overridable learning parameters (TL script :225-254).  With
+    # --use_ray the learning dimensions become a search space exactly as
+    # the reference's transfer mode does (run_train_TL_raytune.py:
+    # 276-303: choice over batch_size/optim/lr_scheduler/LR_gamma,
+    # loguniform over learning_rate/weight_decay); the architecture
+    # stays pinned from the checkpoint config either way.
+    if args.use_ray:
+        from mural_tpu.tune.space import Choice, loguniform_or_choice
+        config["batch_size"] = Choice(args.batch_size)
+        config["optim"] = Choice(args.optim)
+        config["learning_rate"] = loguniform_or_choice(args.learning_rate)
+        config["lr_scheduler"] = Choice(args.lr_scheduler)
+        config["LR_gamma"] = Choice(args.LR_gamma)
+        config["weight_decay"] = loguniform_or_choice(args.weight_decay)
+    else:
+        config["batch_size"] = args.batch_size[0]
+        config["optim"] = args.optim[0]
+        config["learning_rate"] = args.learning_rate[0]
+        config["lr_scheduler"] = args.lr_scheduler[0]
+        config["LR_gamma"] = args.LR_gamma[0]
+        config["weight_decay"] = args.weight_decay[0]
     config["weight_decay_auto"] = args.weight_decay_auto
     config["restart_lr"] = args.restart_lr
     config["min_lr"] = args.min_lr
@@ -226,7 +242,8 @@ def cmd_transfer(args, model_type: str) -> int:
         n_trials=args.n_trials, epochs=args.epochs,
         grace_period=args.grace_period, asha_metric=args.ASHA_metric,
         use_scheduler=args.use_ray, n_parallel=args.n_parallel,
-        rerun_failed=args.rerun_failed)
+        rerun_failed=args.rerun_failed,
+        trial_executor=getattr(args, "trial_executor", "thread"))
     run_experiment(config, opts, model_type, exp)
     return 0
 

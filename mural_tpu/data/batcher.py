@@ -36,6 +36,48 @@ class Batch:
     distal_tracks: Optional[np.ndarray] = None  # (B, W, T) float32
 
 
+def iter_batch_rows(ds: SiteDataset, sampled_segments: int,
+                    batch_size: int, shuffle: bool = True,
+                    rng: Optional[np.random.Generator] = None,
+                    pad_final: bool = False):
+    """Yield ``(rows, n_valid)`` pairs in segment-pool order.
+
+    This is the row-order core of :func:`segment_pool_batches`, factored
+    out so the device-resident training path (train/resident.py) consumes
+    the *identical* permutation -- same ``rng`` draw sequence, same
+    carry-over semantics -- and stays trajectory-equal to the host path.
+    Padding rows (when ``pad_final``) are row id 0 with ``n_valid``
+    marking the real prefix.
+    """
+    if rng is None:
+        rng = np.random.default_rng()
+
+    n_seg = ds.n_segments
+    seg_order = np.arange(n_seg)
+    if shuffle:
+        rng.shuffle(seg_order)
+
+    carry = np.empty(0, dtype=np.int64)
+
+    for pool_start in range(0, n_seg, sampled_segments):
+        segs = seg_order[pool_start:pool_start + sampled_segments]
+        pool_rows = [ds.segment_rows(s) for s in segs]
+        pool = np.concatenate([carry] + pool_rows) if len(pool_rows) else carry
+        if shuffle:
+            rng.shuffle(pool)
+        n_full = len(pool) // batch_size
+        for b in range(n_full):
+            yield pool[b * batch_size:(b + 1) * batch_size], batch_size
+        carry = pool[n_full * batch_size:]
+
+    if len(carry) and pad_final:
+        pad = np.zeros(batch_size - len(carry), dtype=np.int64)
+        yield np.concatenate([carry, pad]), len(carry)
+    # else: the epoch-end remainder is dropped (training path; the
+    # reference itself skips size-1 remainders, training.py:415-416, and
+    # BatchNorm statistics must not see padding rows)
+
+
 def segment_pool_batches(ds: SiteDataset, sampled_segments: int,
                          batch_size: int, shuffle: bool = True,
                          rng: Optional[np.random.Generator] = None,
@@ -47,15 +89,6 @@ def segment_pool_batches(ds: SiteDataset, sampled_segments: int,
     prepended to the next pool, preserving global order -- parity with the
     reference's validation/predict path).
     """
-    if rng is None:
-        rng = np.random.default_rng()
-
-    n_seg = ds.n_segments
-    seg_order = np.arange(n_seg)
-    if shuffle:
-        rng.shuffle(seg_order)
-
-    carry = np.empty(0, dtype=np.int64)
 
     def emit(rows: np.ndarray, n_valid: int) -> Batch:
         cont = None
@@ -80,27 +113,8 @@ def segment_pool_batches(ds: SiteDataset, sampled_segments: int,
         return Batch(y=y, cat=cat, cont=cont, distal=distal,
                      n_valid=n_valid, rows=out_rows, distal_tracks=dtr)
 
-    for pool_start in range(0, n_seg, sampled_segments):
-        segs = seg_order[pool_start:pool_start + sampled_segments]
-        pool_rows = [ds.segment_rows(s) for s in segs]
-        pool = np.concatenate([carry] + pool_rows) if len(pool_rows) else carry
-        if shuffle:
-            rng.shuffle(pool)
-        n_full = len(pool) // batch_size
-        for b in range(n_full):
-            rows = pool[b * batch_size:(b + 1) * batch_size]
-            yield emit(rows, batch_size)
-        carry = pool[n_full * batch_size:]
-
-    if len(carry):
-        if pad_final:
-            pad = np.zeros(batch_size - len(carry), dtype=np.int64)
-            rows = np.concatenate([carry, pad])
-            yield emit(rows, len(carry))
-        elif len(carry) > 1:
-            # training path: emit the true-sized remainder only if the
-            # caller asked for ragged batches; default is to keep shapes
-            # static, so the remainder is dropped (documented deviation;
-            # the reference drops size-1 remainders itself).
-            pass
+    for rows, n_valid in iter_batch_rows(ds, sampled_segments, batch_size,
+                                         shuffle=shuffle, rng=rng,
+                                         pad_final=pad_final):
+        yield emit(rows, n_valid)
 

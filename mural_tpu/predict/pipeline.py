@@ -232,8 +232,11 @@ def run_predict(opts: PredictOptions, model_type: str = "snv",
                     ". No k-mer correlation was calculated.")
         else:
             for k in opts.kmer_corr:
-                printer(f"{k}mer correlation: ",
-                        freq_kmer_comp_multi(data_and_prob, k, n_class))
+                corr = freq_kmer_comp_multi(data_and_prob, k, n_class)
+                printer(f"{k}mer correlation: ", corr)
+                # machine-readable copy for callers (bench.py reads it;
+                # DataFrame.attrs rides along without changing the API)
+                pred_df.attrs.setdefault("kmer_corr", {})[k] = corr
 
     if opts.region_corr:
         if min(opts.region_corr) <= 0:

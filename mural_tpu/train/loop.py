@@ -77,6 +77,10 @@ class TrainOptions:
     bf16: bool = False                 # bf16 activations (f32 opt/BN)
     steps_per_dispatch: Optional[int] = None  # K-scan steps per dispatch
                                        # (None = auto: 8 SNV, 1 INDEL)
+    resident: str = "auto"             # device-resident data: auto|on|off
+    resident_max_bytes: Optional[int] = None  # auto-mode budget
+                                       # (default 8 GiB, or env
+                                       # MURAL_RESIDENT_MAX_BYTES)
 
 
 def split_segments_like_torch(n_segments: int, valid_ratio: float,
@@ -215,17 +219,64 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             tracks=tracks, seq_only=opts.seq_only, bw_distal=bw_distal)
     printer("training set preprocess used time:", time.time() - step_t)
 
+    import threading
+
+    def _check_valid_classes(ds_valid_):
+        """Fail fast on label/n_class mismatches instead of deep in the
+        epoch tail: Dirichlet calibration fits k = classes OBSERVED in
+        the validation data (np.unique, matching the reference's
+        vendored dirichletcal), so a class that never occurs there
+        crashes the Newton solver with an obscure shape error after a
+        full epoch."""
+        if int(ds_valid_.y.max(initial=0)) >= opts.n_class:
+            raise ValueError(
+                f"data contains mutation class "
+                f"{int(ds_valid_.y.max(initial=0))} but --n_class is "
+                f"{opts.n_class}")
+        seen_valid = np.unique(ds_valid_.y)
+        if len(seen_valid) < opts.n_class:
+            missing = sorted(set(range(opts.n_class)) - set(seen_valid))
+            raise ValueError(
+                f"validation data never shows mutation class(es) "
+                f"{missing} (observed "
+                f"{sorted(int(c) for c in seen_valid)}); Dirichlet "
+                f"calibration requires every class observed -- if the "
+                f"data really has fewer classes, lower --n_class; if "
+                f"the classes are just rare, raise --valid_ratio or "
+                f"try another --split_seed so the validation split "
+                f"samples them (the reference's dirichletcal fails the "
+                f"same way, only later and less clearly)")
+
+    valid_prep = None
     if opts.validation_data:
         printer("using given validation file:", opts.validation_data)
         ds_train = ds
-        ds_valid = prepare_dataset(
-            opts.validation_data, genome,
-            central_bp=config["segment_center"],
-            local_radius=config["local_radius"],
-            local_order=config["local_order"],
-            distal_radius=config["distal_radius"],
-            distal_order=opts.distal_order, model_type=model_type,
-            tracks=tracks, seq_only=opts.seq_only, bw_distal=bw_distal)
+        # the validation encode runs on a worker thread while the model
+        # is built and the epoch-0 programs warm-compile below (the
+        # reference's background-preprocess pattern,
+        # MuRaL/data/preprocessing.py:340-345); joined before first use
+        valid_prep = {"ds": None, "err": None, "start": time.time(),
+                      "done_at": None}
+
+        def _prep_valid():
+            try:
+                valid_prep["ds"] = prepare_dataset(
+                    opts.validation_data, genome,
+                    central_bp=config["segment_center"],
+                    local_radius=config["local_radius"],
+                    local_order=config["local_order"],
+                    distal_radius=config["distal_radius"],
+                    distal_order=opts.distal_order,
+                    model_type=model_type, tracks=tracks,
+                    seq_only=opts.seq_only, bw_distal=bw_distal)
+            except BaseException as e:
+                valid_prep["err"] = e
+            valid_prep["done_at"] = time.time()
+
+        valid_prep["thread"] = threading.Thread(target=_prep_valid,
+                                                daemon=True)
+        valid_prep["thread"].start()
+        ds_valid = None
     else:
         split_seed = (opts.split_seed if opts.split_seed is not None
                       else np.random.randint(0, 10000))
@@ -234,32 +285,27 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
         ds_train = ds.subset_segments(train_ids)
         ds_valid = ds.subset_segments(valid_ids)
 
-    train_size, valid_size = ds_train.n_sites, ds_valid.n_sites
-    printer("train_size, valid_size:", train_size, valid_size)
+    def _join_valid_prep():
+        nonlocal ds_valid
+        if valid_prep is None:
+            return
+        valid_prep["thread"].join()
+        if valid_prep["err"] is not None:
+            raise valid_prep["err"]
+        ds_valid = valid_prep["ds"]
+        printer("validation preprocess ran on a worker "
+                f"({valid_prep['done_at'] - valid_prep['start']:.1f}s, "
+                "overlapped with model build/compile warm-up)")
 
-    # fail fast on label/n_class mismatches instead of deep in the
-    # epoch tail: Dirichlet calibration fits k = classes OBSERVED in the
-    # validation data (np.unique, matching the reference's vendored
-    # dirichletcal), so a class that never occurs there crashes the
-    # Newton solver with an obscure shape error after a full epoch
-    y_max = max(int(ds_train.y.max(initial=0)),
-                int(ds_valid.y.max(initial=0)))
-    if y_max >= opts.n_class:
+    train_size = ds_train.n_sites
+    if int(ds_train.y.max(initial=0)) >= opts.n_class:
         raise ValueError(
-            f"data contains mutation class {y_max} but "
-            f"--n_class is {opts.n_class}")
-    seen_valid = np.unique(ds_valid.y)
-    if len(seen_valid) < opts.n_class:
-        missing = sorted(set(range(opts.n_class)) - set(seen_valid))
-        raise ValueError(
-            f"validation data never shows mutation class(es) {missing} "
-            f"(observed {sorted(int(c) for c in seen_valid)}); Dirichlet "
-            f"calibration requires every class observed -- if the data "
-            f"really has fewer classes, lower --n_class; if the classes "
-            f"are just rare, raise --valid_ratio or try another "
-            f"--split_seed so the validation split samples them (the "
-            f"reference's dirichletcal fails the same way, only later "
-            f"and less clearly)")
+            f"data contains mutation class "
+            f"{int(ds_train.y.max(initial=0))} but --n_class is "
+            f"{opts.n_class}")
+    if ds_valid is not None:
+        _check_valid_classes(ds_valid)
+        printer("train_size, valid_size:", train_size, ds_valid.n_sites)
 
     # --- config augmentation (training.py:170-177,246-255) ------------
     config = dict(config)
@@ -364,6 +410,96 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
         model, state, bf16=opts.bf16) if k_scan > 1 else None)
     eval_step = make_packed_eval_step(model, state)
     base_rng = jax.random.key(opts.rng_seed)
+
+    # -- device-resident data path (round-3): the whole epoch as one
+    # dispatch over resident arrays; the host only computes the segment-
+    # pool permutation.  Removes the host-feed gap (e2e 48k vs 713k+
+    # device windows/s in round 2).  Falls back to the host-fed prefetch
+    # loop for per-base track channels, DP meshes, or data over budget.
+    use_resident = False
+    warm = None
+    if (opts.resident != "off" and opts.dp_devices == 1
+            and ds_train.distal_tracks is None
+            and ds_train.n_sites >= config["batch_size"]):
+        from mural_tpu.train.resident import (estimate_resident_bytes,
+                                              make_resident,
+                                              make_resident_epoch_fn,
+                                              make_resident_eval_fn,
+                                              stack_epoch_rows)
+        budget = (opts.resident_max_bytes
+                  if opts.resident_max_bytes is not None
+                  else int(os.environ.get("MURAL_RESIDENT_MAX_BYTES",
+                                          8 << 30)))
+        # validation may still be preprocessing on its worker; its
+        # device footprint is bounded by the training set's in every
+        # reference workflow, so budget on 2x the train estimate
+        est = estimate_resident_bytes(ds_train) * (
+            2 if ds_valid is None else 1)
+        if ds_valid is not None:
+            est += estimate_resident_bytes(ds_valid)
+        if opts.resident == "on" or est <= budget:
+            res_train = make_resident(ds_train, device=opts.device)
+            use_resident = res_train is not None
+        if use_resident:
+            resident_epoch = make_resident_epoch_fn(
+                model, state, ds_train.distal_width, bf16=opts.bf16)
+
+            # ---- epoch-0 compile warm-up (VERDICT r2 item 9) --------
+            # dispatch the epoch program once on a copy of the state
+            # with zero rows so XLA compiles NOW, overlapping the
+            # validation worker's preprocessing; the real epoch 0 then
+            # hits the jit cache.
+            n_steps0 = train_size // config["batch_size"]
+
+            def _warm():
+                try:
+                    state_copy = jax.tree.map(
+                        lambda x: x.copy() if hasattr(x, "copy") else x,
+                        state)
+                    zero_rows = jnp.zeros(
+                        (n_steps0, config["batch_size"]), jnp.int32)
+                    _, wl, _ = resident_epoch(
+                        state_copy, res_train.arena, res_train.y,
+                        res_train.cat, res_train.cont, res_train.astart,
+                        res_train.neg, zero_rows, base_rng)
+                    wl.block_until_ready()
+                except Exception:
+                    pass        # real epoch 0 will surface any error
+
+            if valid_prep is not None:
+                warm = {"t0": time.time()}
+                warm["thread"] = threading.Thread(target=_warm,
+                                                  daemon=True)
+                warm["thread"].start()
+
+    _join_valid_prep()
+    if valid_prep is not None:
+        _check_valid_classes(ds_valid)
+        printer("train_size, valid_size:", train_size, ds_valid.n_sites)
+    valid_size = ds_valid.n_sites
+
+    if use_resident:
+        res_valid = make_resident(ds_valid, device=opts.device)
+        use_resident = res_valid is not None
+    if use_resident:
+        resident_eval = make_resident_eval_fn(
+            model, state, ds_valid.distal_width)
+        # validation order is deterministic (no shuffle): compute
+        # and upload the row/mask arrays once per trial
+        vrows_np, vmasks_np, v_n_valids = stack_epoch_rows(
+            ds_valid, config["sampled_segments"],
+            config["batch_size"], shuffle=False, pad_final=True)
+        vrows_dev = jax.device_put(vrows_np, opts.device)
+        vmasks_dev = jax.device_put(vmasks_np, opts.device)
+        printer(f"device-resident data: train arena "
+                f"{res_train.arena.nbytes / 1e6:.1f} MB, "
+                f"valid arena {res_valid.arena.nbytes / 1e6:.1f} MB, "
+                f"one dispatch per epoch")
+    if warm is not None:
+        warm["thread"].join()
+        printer(f"epoch-0 train program warm-compiled in "
+                f"{time.time() - warm['t0']:.1f}s (overlapped with "
+                f"validation preprocess)")
 
     # -- data-parallel mesh (extension over the single-device reference,
     # SURVEY.md 2.3): params replicate, batches shard on the 'data' axis,
@@ -497,56 +633,68 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
 
     for epoch in range(opts.epochs):
         epoch_t = time.time()
-        # device-side loss accumulator: keeping the scalar on device avoids
-        # a host sync per step (each sync costs a full round trip through
-        # the TPU transport and dominated the epoch time)
-        total_loss_dev = jnp.zeros((), jnp.float32)
-        batch_count = 0
-        next_progress = 1000
-        fetch_t = 0.0
-        train_t = 0.0
-        t0 = time.time()
-
-        batches = segment_pool_batches(
-            ds_train, config["sampled_segments"], config["batch_size"],
-            shuffle=True, rng=host_rng)
         profiling = (opts.profile_dir is not None and epoch == 0)
         if profiling:
             jax.profiler.start_trace(opts.profile_dir)
-        if k_scan > 1:
-            from mural_tpu.data.prefetch import prefetch_stacked
-            batch_iter = prefetch_stacked(
-                batches, k_scan, size=2, device=opts.device,
-                sharding=stacked_sharding_,
-                single_sharding=batch_sharding_)
+
+        if use_resident:
+            # host work this epoch: one permutation + one upload
+            rows_np, _, _ = stack_epoch_rows(
+                ds_train, config["sampled_segments"],
+                config["batch_size"], shuffle=True, rng=host_rng)
+            state, total_loss_dev, _lr = resident_epoch(
+                state, res_train.arena, res_train.y, res_train.cat,
+                res_train.cont, res_train.astart, res_train.neg,
+                jax.device_put(rows_np, opts.device), base_rng)
+            batch_count = rows_np.shape[0]
         else:
-            batch_iter = prefetch(batches, size=2, device=opts.device,
-                                  sharding=batch_sharding_)
-        for db in batch_iter:
-            if tail["stop"]:      # scheduler stopped us mid-overlap
-                break
-            fetch_t += time.time() - t0
-            t1 = time.time()
-            if hasattr(db, "k"):     # K-stacked group -> scan step
-                state, losses, lr = train_step_scan(
-                    state, db.y, db.cat, db.cont, db.distal, db.mask,
-                    base_rng, db.distal_tracks)
-                total_loss_dev = total_loss_dev + jnp.sum(losses)
-                batch_count += db.k
-            else:
-                state, loss, lr = train_step(state, db.y, db.cat,
-                                             db.cont, db.distal,
-                                             db.mask, base_rng,
-                                             db.distal_tracks)
-                total_loss_dev = total_loss_dev + loss
-                batch_count += 1
-            train_t += time.time() - t1
-            if batch_count >= next_progress:
-                printer(f"Batch {batch_count}: fetch {fetch_t:.1f}s, "
-                        f"train {train_t:.1f}s (last 1000, async)")
-                fetch_t = train_t = 0.0
-                next_progress += 1000
+            # device-side loss accumulator: keeping the scalar on device
+            # avoids a host sync per step (each sync costs a full round
+            # trip through the TPU transport and dominated epoch time)
+            total_loss_dev = jnp.zeros((), jnp.float32)
+            batch_count = 0
+            next_progress = 1000
+            fetch_t = 0.0
+            train_t = 0.0
             t0 = time.time()
+
+            batches = segment_pool_batches(
+                ds_train, config["sampled_segments"],
+                config["batch_size"], shuffle=True, rng=host_rng)
+            if k_scan > 1:
+                from mural_tpu.data.prefetch import prefetch_stacked
+                batch_iter = prefetch_stacked(
+                    batches, k_scan, size=2, device=opts.device,
+                    sharding=stacked_sharding_,
+                    single_sharding=batch_sharding_)
+            else:
+                batch_iter = prefetch(batches, size=2, device=opts.device,
+                                      sharding=batch_sharding_)
+            for db in batch_iter:
+                if tail["stop"]:      # scheduler stopped us mid-overlap
+                    break
+                fetch_t += time.time() - t0
+                t1 = time.time()
+                if hasattr(db, "k"):     # K-stacked group -> scan step
+                    state, losses, lr = train_step_scan(
+                        state, db.y, db.cat, db.cont, db.distal, db.mask,
+                        base_rng, db.distal_tracks)
+                    total_loss_dev = total_loss_dev + jnp.sum(losses)
+                    batch_count += db.k
+                else:
+                    state, loss, lr = train_step(state, db.y, db.cat,
+                                                 db.cont, db.distal,
+                                                 db.mask, base_rng,
+                                                 db.distal_tracks)
+                    total_loss_dev = total_loss_dev + loss
+                    batch_count += 1
+                train_t += time.time() - t1
+                if batch_count >= next_progress:
+                    printer(f"Batch {batch_count}: fetch {fetch_t:.1f}s, "
+                            f"train {train_t:.1f}s (last 1000, async)")
+                    fetch_t = train_t = 0.0
+                    next_progress += 1000
+                t0 = time.time()
 
         if profiling:
             jax.block_until_ready(total_loss_dev)
@@ -557,24 +705,39 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
         printer("optimizer learning rate:", float(state.lr()))
 
         # ---- validation (async: device arrays collected, one sync) ---
-        logits_parts: List = []
-        vloss_dev = jnp.zeros((), jnp.float32)
-        vbatches = segment_pool_batches(
-            ds_valid, config["sampled_segments"], config["batch_size"],
-            shuffle=False, pad_final=True)
-        n_valids = []
-        for db in prefetch(vbatches, size=2, device=opts.device,
-                           sharding=batch_sharding_):
-            logits, vloss = eval_step(state.flat_params, state.flat_stats,
-                                      db.y, db.cat, db.cont, db.distal,
-                                      db.mask, db.distal_tracks)
-            vloss_dev = vloss_dev + vloss
-            logits_parts.append(logits)
-            n_valids.append(db.n_valid)
-        valid_total_loss = float(vloss_dev)
-        valid_logits = (np.concatenate(
-            [np.asarray(lg)[:n] for lg, n in zip(logits_parts, n_valids)])
-            if logits_parts else np.zeros((0, opts.n_class)))
+        if use_resident:
+            logits_stacked, vloss_dev = resident_eval(
+                state.flat_params, state.flat_stats,
+                res_valid.arena, res_valid.y, res_valid.cat,
+                res_valid.cont, res_valid.astart, res_valid.neg,
+                vrows_dev, vmasks_dev)
+            valid_total_loss = float(vloss_dev)
+            lg = np.asarray(logits_stacked)
+            valid_logits = (np.concatenate(
+                [lg[i, :n] for i, n in enumerate(v_n_valids)])
+                if len(v_n_valids) else np.zeros((0, opts.n_class)))
+        else:
+            logits_parts: List = []
+            vloss_dev = jnp.zeros((), jnp.float32)
+            vbatches = segment_pool_batches(
+                ds_valid, config["sampled_segments"],
+                config["batch_size"], shuffle=False, pad_final=True)
+            n_valids = []
+            for db in prefetch(vbatches, size=2, device=opts.device,
+                               sharding=batch_sharding_):
+                logits, vloss = eval_step(state.flat_params,
+                                          state.flat_stats,
+                                          db.y, db.cat, db.cont,
+                                          db.distal, db.mask,
+                                          db.distal_tracks)
+                vloss_dev = vloss_dev + vloss
+                logits_parts.append(logits)
+                n_valids.append(db.n_valid)
+            valid_total_loss = float(vloss_dev)
+            valid_logits = (np.concatenate(
+                [np.asarray(lg)[:n]
+                 for lg, n in zip(logits_parts, n_valids)])
+                if logits_parts else np.zeros((0, opts.n_class)))
         e = np.exp(valid_logits - valid_logits.max(axis=1, keepdims=True))
         valid_probs = e / e.sum(axis=1, keepdims=True)
         t_valid_done = time.time()

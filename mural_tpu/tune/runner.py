@@ -50,6 +50,12 @@ class ExperimentOptions:
     rerun_failed: bool = False
     seed: Optional[int] = None
     progress_interval: float = 30.0   # live table cadence (scheduler mode)
+    trial_executor: str = "thread"    # 'thread' | 'process': concurrent
+                                      # trials share one process (native
+                                      # gathers release the GIL) or get
+                                      # spawned processes (no GIL
+                                      # contention from pandas eval
+                                      # tails on many-core hosts)
 
 
 class ProgressTable:
@@ -142,6 +148,105 @@ def _trial_worker(trial_id: str, config: Dict, opts: TrainOptions,
         return trial_id, None, err
 
 
+class _SchedulerBridge:
+    """Child-process side of the trial<->scheduler protocol: forwards
+    each epoch report over the pipe and blocks on the parent's
+    keep-going verdict (the parent owns the real ASHAScheduler, so
+    cross-trial promotion decisions see every trial's reports)."""
+
+    def __init__(self, conn):
+        self.conn = conn
+
+    def on_report(self, trial_id, iteration, metrics) -> bool:
+        self.conn.send(("report", iteration, metrics))
+        return bool(self.conn.recv())
+
+
+def _process_entry(conn, trial_id, config, opts, model_type,
+                   device_index, n_parallel, platforms):
+    """Spawned-process trial body: initialises its own JAX runtime on
+    the parent's platform and pins to ``devices()[device_index]`` when
+    trials are packed.
+
+    ``platforms`` is the parent's ``jax_platforms`` config, applied via
+    ``jax.config`` -- the env var alone is NOT enough (a site
+    customisation can force-register an accelerator backend regardless,
+    and the child must match the parent's platform for trial
+    equivalence)."""
+    try:
+        import jax
+        if platforms:
+            jax.config.update("jax_platforms", platforms)
+        dev = None
+        if n_parallel > 1:
+            devs = jax.devices()
+            dev = devs[device_index % len(devs)]
+        out = _trial_worker(trial_id, config, opts, model_type,
+                            _SchedulerBridge(conn), device=dev,
+                            progress=None)
+        conn.send(("done", out[1],
+                   None if out[2] is None else repr(out[2])))
+    except BaseException as err:   # never leave the parent hanging
+        try:
+            conn.send(("done", None, repr(err)))
+        except Exception:
+            pass
+    finally:
+        conn.close()
+
+
+def _run_trial_in_process(trial_id, config, opts, model_type,
+                          scheduler, device_index, n_parallel,
+                          progress):
+    """Parent side: spawn, then serve scheduler verdicts until done."""
+    import multiprocessing as mp
+
+    import jax
+
+    ctx = mp.get_context("spawn")
+    parent, child = ctx.Pipe()
+    proc = ctx.Process(
+        target=_process_entry,
+        args=(child, trial_id, config, opts, model_type, device_index,
+              n_parallel, jax.config.jax_platforms),
+        daemon=False)
+    proc.start()
+    child.close()
+    metrics, err_repr = None, None
+    iteration = 0
+    while True:
+        try:
+            msg = parent.recv()
+        except EOFError:            # child died without 'done'
+            err_repr = "trial process exited unexpectedly"
+            break
+        if msg[0] == "report":
+            _, iteration, m = msg
+            if progress is not None:
+                progress.update(trial_id, "RUNNING", iteration, m)
+            keep = True
+            if m.get("after_min_loss", 0) >= AFTER_MIN_LOSS_STOP:
+                keep = False
+            if keep and scheduler is not None:
+                keep = scheduler.on_report(trial_id, iteration, m)
+            parent.send(keep)
+        else:                       # ("done", metrics, err_repr)
+            _, metrics, err_repr = msg
+            break
+    proc.join()
+    parent.close()
+    err = RuntimeError(err_repr) if err_repr is not None else None
+    if err is not None and metrics is None:
+        # make sure rerun_failed sees the failure even if the child
+        # crashed before _trial_worker could write it
+        err_path = os.path.join(opts.trial_dir, "error.txt")
+        if not os.path.exists(err_path):
+            os.makedirs(opts.trial_dir, exist_ok=True)
+            with open(err_path, "w") as fh:
+                fh.write(str(err_repr) + "\n")
+    return trial_id, metrics, err
+
+
 def run_experiment(space: Dict, base_opts: TrainOptions, model_type: str,
                    exp: ExperimentOptions,
                    printer=print) -> List:
@@ -225,8 +330,13 @@ def run_experiment(space: Dict, base_opts: TrainOptions, model_type: str,
             pickle.dump(config, fh)
         if progress is not None:
             progress.update(trial_id, "RUNNING")
-        out = _trial_worker(trial_id, config, opts, model_type,
-                            scheduler, device=dev, progress=progress)
+        if exp.trial_executor == "process":
+            out = _run_trial_in_process(
+                trial_id, config, opts, model_type, scheduler,
+                launch_idx, n_parallel, progress)
+        else:
+            out = _trial_worker(trial_id, config, opts, model_type,
+                                scheduler, device=dev, progress=progress)
         with lock:
             results.append(out)
         write_progress_csv(trial_dir)

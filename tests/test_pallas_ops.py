@@ -73,3 +73,31 @@ def test_sentinel_padding_matches_zero_pad():
                        atol=1e-4)
     assert np.allclose(np.asarray(out[:, -7:]),
                        np.asarray(unfused[:, -7:]), atol=1e-4)
+
+
+def test_gather_windows_blocked_matches_reference():
+    """Blocked (row-gather + binary realign) window gather must be
+    bit-identical to the element gather for every offset phase mod 128
+    and at arena edges."""
+    import jax.numpy as jnp
+
+    from mural_tpu.ops.window_gather import (gather_windows_blocked,
+                                             gather_windows_reference,
+                                             pad_arena_rows)
+
+    rng = np.random.default_rng(3)
+    for dw in (1, 127, 128, 129, 401, 500):
+        A = 40_000
+        arena = rng.integers(0, 15, A).astype(np.uint8)
+        # all 128 phases + random + the extreme in-range starts
+        starts = np.concatenate([
+            np.arange(128, dtype=np.int64),
+            rng.integers(0, A - dw, 128),
+            [0, A - dw],
+        ]).astype(np.int64)
+        arena2d = jnp.asarray(pad_arena_rows(arena, dw))
+        got = np.asarray(gather_windows_blocked(
+            arena2d, jnp.asarray(starts), dw))
+        want = np.asarray(gather_windows_reference(
+            jnp.asarray(arena), jnp.asarray(starts), dw))
+        np.testing.assert_array_equal(got, want, err_msg=f"dw={dw}")

@@ -162,3 +162,43 @@ def test_genome_wide_sharded(tiny_genome, tiny_bed, tmp_path):
     p1 = outs[1][[f"prob{i}" for i in range(4)]].to_numpy()
     p8 = outs[8][[f"prob{i}" for i in range(4)]].to_numpy()
     assert np.allclose(p1, p8, atol=2e-4)
+
+
+def test_process_executor_matches_thread(tiny_genome, tiny_bed,
+                                         tmp_path):
+    """The spawned-process trial executor (--trial_executor process;
+    dodges GIL contention from pandas eval tails on many-core hosts)
+    must produce the same per-trial results as the threaded executor:
+    same seeds -> same trial ids, sampled configs and final losses."""
+    from mural_tpu.train.loop import TrainOptions
+    from mural_tpu.tune.runner import ExperimentOptions, run_experiment
+    from mural_tpu.tune.space import Choice
+
+    space = dict(
+        local_radius=2, local_order=1, local_dropout=0.0,
+        distal_fc_dropout=0.0, emb_dropout=0.0,
+        local_hidden1_size=Choice([8, 16]), local_hidden2_size=4,
+        distal_radius=60, segment_center=5000, sampled_segments=4,
+        batch_size=32, optim="Adam", learning_rate=1e-3,
+        lr_scheduler="StepLR", LR_gamma=0.9, weight_decay=0.0,
+        weight_decay_auto=None, restart_lr=1e-4, min_lr=1e-6,
+        CNN_kernel_size=3, CNN_out_channels=4, transfer_learning=False)
+    opts = TrainOptions(train_data=tiny_bed,
+                        ref_genome=tiny_genome["path"], n_class=4,
+                        model_no=2, valid_ratio=0.25, split_seed=1)
+    losses = {}
+    for mode in ("thread", "process"):
+        exp = ExperimentOptions(experiment_name=f"ex_{mode}",
+                                results_dir=str(tmp_path), n_trials=2,
+                                epochs=1, n_parallel=2, seed=11,
+                                use_scheduler=True,
+                                trial_executor=mode)
+        best = run_experiment(space, opts, "snv", exp,
+                              printer=lambda *a: None)
+        losses[mode] = sorted(
+            (path.split("/")[-3], loss) for path, loss in best)
+    assert [t for t, _ in losses["thread"]] == \
+           [t for t, _ in losses["process"]]
+    lt = np.asarray([l for _, l in losses["thread"]])
+    lp = np.asarray([l for _, l in losses["process"]])
+    np.testing.assert_allclose(lt, lp, rtol=1e-5)

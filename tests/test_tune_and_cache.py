@@ -162,3 +162,104 @@ def test_progress_table_renders_and_updates():
     assert "Train_a_00000" in final and "Train_a_00001" in final
     assert "RUNNING" in final and "TERMINATED" in final
     assert "0.41" in final
+
+
+def test_transfer_use_ray_builds_search_space(tmp_path, monkeypatch):
+    """transfer --use_ray must search over the learning params (choice
+    on batch_size/optim/lr_scheduler/LR_gamma, loguniform on lr and
+    weight_decay -- run_train_TL_raytune.py:276-303 semantics) while the
+    architecture stays pinned from the checkpoint config; round-2 pinned
+    everything, so N trials ran one identical configuration."""
+    import pickle
+
+    from mural_tpu.cli import main as cli_main
+    from mural_tpu.cli.mural_snv import create_parser
+
+    cfg = dict(local_radius=5, local_order=3, distal_radius=50,
+               CNN_kernel_size=3, CNN_out_channels=8,
+               local_hidden1_size=32, local_hidden2_size=16,
+               emb_dropout=0.1, local_dropout=0.1,
+               distal_fc_dropout=0.25, segment_center=300000,
+               sampled_segments=10, n_class=4, model_no=2,
+               emb_dims=[(65, 2)] * 11, n_cont=0)
+    cfg_path = tmp_path / "model.config.pkl"
+    with open(cfg_path, "wb") as fh:
+        pickle.dump(cfg, fh)
+
+    captured = {}
+
+    def fake_run_experiment(space, opts, model_type, exp):
+        captured.update(space=space, exp=exp)
+
+    monkeypatch.setattr("mural_tpu.tune.runner.run_experiment",
+                        fake_run_experiment)
+
+    parser = create_parser("snv")
+    args = parser.parse_args([
+        "transfer",
+        "--ref_genome", "g.fa", "--train_data", "t.bed",
+        "--model_path", str(tmp_path / "model"),
+        "--model_config_path", str(cfg_path),
+        "--train_all", "--use_ray", "--n_trials", "4",
+        "--batch_size", "64", "128",
+        "--optim", "Adam", "AdamW",
+        "--learning_rate", "1e-4", "1e-2",
+        "--weight_decay", "1e-6", "1e-3",
+        "--LR_gamma", "0.9", "0.95",
+    ])
+    cli_main.cmd_transfer(args, "snv")
+
+    space = captured["space"]
+    assert isinstance(space["batch_size"], Choice)
+    assert isinstance(space["optim"], Choice)
+    assert isinstance(space["lr_scheduler"], Choice)
+    assert isinstance(space["LR_gamma"], Choice)
+    assert isinstance(space["learning_rate"], LogUniform)
+    assert isinstance(space["weight_decay"], LogUniform)
+    # architecture pinned from the checkpoint, not searched
+    assert space["distal_radius"] == 50
+    assert space["CNN_out_channels"] == 8
+    assert space["transfer_learning"] is True
+
+    # sampling yields distinct learning configurations across trials
+    rng = np.random.default_rng(0)
+    lrs = {sample_config(space, rng)["learning_rate"] for _ in range(4)}
+    assert len(lrs) >= 2
+
+
+def test_transfer_without_ray_pins_first_elements(tmp_path, monkeypatch):
+    """Standalone transfer keeps the reference's first-element scalars."""
+    import pickle
+
+    from mural_tpu.cli import main as cli_main
+    from mural_tpu.cli.mural_snv import create_parser
+
+    cfg = dict(local_radius=5, local_order=3, distal_radius=50,
+               CNN_kernel_size=3, CNN_out_channels=8,
+               local_hidden1_size=32, local_hidden2_size=16,
+               emb_dropout=0.1, local_dropout=0.1,
+               distal_fc_dropout=0.25, segment_center=300000,
+               sampled_segments=10, n_class=4, model_no=2,
+               emb_dims=[(65, 2)] * 11, n_cont=0)
+    cfg_path = tmp_path / "model.config.pkl"
+    with open(cfg_path, "wb") as fh:
+        pickle.dump(cfg, fh)
+
+    captured = {}
+    monkeypatch.setattr(
+        "mural_tpu.tune.runner.run_experiment",
+        lambda space, opts, model_type, exp: captured.update(space=space))
+
+    parser = create_parser("snv")
+    args = parser.parse_args([
+        "transfer",
+        "--ref_genome", "g.fa", "--train_data", "t.bed",
+        "--model_path", str(tmp_path / "model"),
+        "--model_config_path", str(cfg_path),
+        "--train_all",
+        "--batch_size", "64", "128",
+        "--learning_rate", "1e-4", "1e-2",
+    ])
+    cli_main.cmd_transfer(args, "snv")
+    assert captured["space"]["batch_size"] == 64
+    assert captured["space"]["learning_rate"] == pytest.approx(1e-4)
