@@ -81,6 +81,14 @@ def _learning_args(p, lr_default):
                         "in-graph). 'auto' enables it when the data fits "
                         "the device budget and no per-base track "
                         "channels are used. Default: auto.")
+    g.add_argument("--fused_stem", type=str, metavar="MODE",
+                   default="auto", choices=["auto", "on", "off"],
+                   help="Run each distal tower's one-hot+BN+conv+maxpool "
+                        "stem as one fused TPU kernel during training "
+                        "(histogram-exact BatchNorm statistics, "
+                        "identical parameter gradients). 'auto' enables "
+                        "it for SNV tower models on TPU without distal "
+                        "track channels. Default: auto.")
     return g
 
 

@@ -160,6 +160,7 @@ def _base_train_opts(args, model_type: str):
         bf16=getattr(args, "bf16", False),
         steps_per_dispatch=getattr(args, "steps_per_dispatch", None),
         resident=getattr(args, "resident_data", "auto"),
+        fused_stem=getattr(args, "fused_stem", "auto"),
     )
 
 

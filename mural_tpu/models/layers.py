@@ -224,11 +224,28 @@ class TorchBatchNorm(nn.Module):
             # bf16-activation mode this keeps the large reductions and
             # the running-stat updates full precision)
             x32 = x.astype(jnp.float32)
-            mean = jnp.mean(x32, axes)
-            # two-pass variance: the E[x^2]-E[x]^2 form cancels
-            # catastrophically in f32 on TPU-sized reductions and can go
-            # negative -> rsqrt NaN
-            var = jnp.maximum(jnp.mean(jnp.square(x32 - mean), axes), 0.0)
+            # single-pass shifted statistics: mean and variance from ONE
+            # read of x (both reductions fuse into one multi-output
+            # reduce of d).  A naive E[x^2]-E[x]^2 cancels
+            # catastrophically when mean^2 >> var (can go negative ->
+            # rsqrt NaN; this repo hit that once), and the safe two-pass
+            # E[(x-mean)^2] costs a second full HBM read because the
+            # second reduce depends on the first (~2 ms of convert_
+            # reduce per INDEL U-Net step).  Shifting by the running
+            # mean keeps the subtraction benign: the f32 error of the
+            # shifted form is ~2^-24 * (var + (mean-shift)^2), which
+            # stays far below eps=1e-5 whenever |mean - running_mean|
+            # < ~10 -- running stats track the batch mean within steps
+            # (and at init shift=0 reproduces the naive form, whose
+            # error is still << eps for the unit-scale activations BN
+            # sees at init).  Clamp handles the var~0 edge exactly as
+            # the two-pass did.
+            shift = jax.lax.stop_gradient(ra_mean.value)
+            d = x32 - shift
+            mean_d = jnp.mean(d, axes)
+            var = jnp.maximum(
+                jnp.mean(jnp.square(d), axes) - jnp.square(mean_d), 0.0)
+            mean = mean_d + shift
             n = x.size // feat
             unbiased = var * (n / max(n - 1, 1))
             if not self.is_initializing():
@@ -267,6 +284,100 @@ class BNConv(nn.Module):
         if self.relu:
             x = nn.relu(x)
         return x
+
+
+class _FusedBN(nn.Module):
+    """Param/variable twin of :class:`TorchBatchNorm` for the fused
+    training stem: identical names, shapes, init and running-stat update
+    rule, but the batch statistics arrive precomputed (from the code
+    histogram, :func:`mural_tpu.ops.fused_train_stem.hist_batch_stats`)
+    instead of being reduced from activations.  Checkpoints are
+    interchangeable with the unfused path."""
+    features: int = 4
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, mean, var_biased, var_unbiased, train: bool):
+        feat = self.features
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((feat,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((feat,), jnp.float32))
+        if train:
+            use_mean, use_var = mean, var_biased
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * var_unbiased
+        else:
+            use_mean, use_var = ra_mean.value, ra_var.value
+        return scale, bias, use_mean, use_var
+
+
+class _FusedConvParams(nn.Module):
+    """Param twin of ``nn.Conv`` (same names/shapes/init) for the fused
+    stem, which consumes the weights through the lookup table instead of
+    calling the conv."""
+    features: int
+    kernel_size: int
+    in_features: int = 4
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class FusedStemConvPool(nn.Module):
+    """BN -> Conv1d -> MaxPool1d on raw uint8 genome codes in one fused
+    Pallas op (ops/fused_train_stem.code_conv_pool).
+
+    Drop-in replacement for ``BNConv(name='conv1') -> max_pool1d`` at
+    the head of a distal tower (ref model_snv.py:144-150 wiring): the
+    parameter/variable tree is identical, training-mode BN statistics
+    are histogram-exact, running stats follow the same momentum rule,
+    and parameter gradients are mathematically the composition's (the
+    statistics carry no parameter dependence -- module docstring of
+    ops/fused_train_stem).  The (B, L, C) conv activation never touches
+    HBM.
+    """
+    features: int
+    kernel_size: int
+    pool: Sequence[int]          # (kernel, stride, pad), stride == kernel
+
+    @nn.compact
+    def __call__(self, codes, train: bool):
+        from mural_tpu.ops.fused_code_conv import fold_bn_conv_table
+        from mural_tpu.ops.fused_train_stem import (code_conv_pool,
+                                                    hist_batch_stats)
+        pk, ps, pp = self.pool
+        if ps != pk:
+            raise ValueError("fused stem requires pool stride == kernel")
+        if train:
+            mean, var_b, var_u = hist_batch_stats(codes)
+        else:
+            z = jnp.zeros((4,), jnp.float32)
+            mean = var_b = var_u = z
+        scale, bias_bn, use_mean, use_var = _FusedBN(name="bn")(
+            mean, var_b, var_u, train)
+        kernel, bias_c = _FusedConvParams(
+            self.features, self.kernel_size, name="conv")()
+        act_dtype = kernel.dtype     # params arrive pre-cast under bf16
+        f32 = jnp.float32
+        table, bias = fold_bn_conv_table(
+            kernel.astype(f32), bias_c.astype(f32), scale.astype(f32),
+            bias_bn.astype(f32), jax.lax.stop_gradient(use_mean),
+            jax.lax.stop_gradient(use_var))
+        # f32 training: hi+lo bf16 matmul pairs (f32-accurate); bf16
+        # training: single bf16 passes -- the unfused path's rounding
+        out = code_conv_pool(codes, table, bias, pk, pp,
+                             split=(act_dtype == jnp.float32))
+        return out.astype(act_dtype)
 
 
 class ResBlock(nn.Module):
@@ -318,8 +429,14 @@ class ResNetTower(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         k = self.kernel_size
-        x = BNConv(self.out_channels, k, name="conv1")(x, train)
-        x = max_pool1d(x, *self.pools[0])
+        if x.ndim == 2:
+            # raw uint8 codes: fused one-hot+BN+conv+pool training stem
+            # (identical param tree; see FusedStemConvPool)
+            x = FusedStemConvPool(self.out_channels, k, self.pools[0],
+                                  name="conv1")(x, train)
+        else:
+            x = BNConv(self.out_channels, k, name="conv1")(x, train)
+            x = max_pool1d(x, *self.pools[0])
         jump = x
         x = ResBlock(self.out_channels, name="RBs1_0")(x, train)
         x = ResBlock(self.out_channels, name="RBs1_1")(x, train)

@@ -115,8 +115,19 @@ class DualTowers(nn.Module):
     @nn.compact
     def __call__(self, distal, train: bool):
         L = distal.shape[1]
-        x = distal[:, :, :self.in_channels]
-        crop = x[:, L // 2 - 100: L // 2 + 100 + 1, :]
+        if distal.ndim == 2:
+            # raw uint8 codes -> each tower's first BN+conv+pool runs as
+            # the fused table kernel (layers.FusedStemConvPool); only
+            # valid without extra track channels
+            if self.in_channels != 4:
+                raise ValueError(
+                    "codes input requires in_channels == 4 (no distal "
+                    f"track channels), got {self.in_channels}")
+            x = distal
+            crop = distal[:, L // 2 - 100: L // 2 + 100 + 1]
+        else:
+            x = distal[:, :, :self.in_channels]
+            crop = x[:, L // 2 - 100: L // 2 + 100 + 1, :]
         d1 = ResNetTower(self.out_channels, self.kernel_size, MID_POOLS,
                          name="tower1")(crop, train)
         d1 = DistalFC(self.n_class, self.distal_fc_dropout,

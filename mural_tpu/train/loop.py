@@ -78,6 +78,10 @@ class TrainOptions:
     steps_per_dispatch: Optional[int] = None  # K-scan steps per dispatch
                                        # (None = auto: 8 SNV, 1 INDEL)
     resident: str = "auto"             # device-resident data: auto|on|off
+    fused_stem: str = "auto"           # fused one-hot+BN+conv+pool
+                                       # training stem: auto|on|off
+                                       # (auto = on for SNV towers on
+                                       # TPU, seq-only, single device)
     resident_max_bytes: Optional[int] = None  # auto-mode budget
                                        # (default 8 GiB, or env
                                        # MURAL_RESIDENT_MAX_BYTES)
@@ -341,6 +345,28 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     }
     model = build_model(opts.model_no, config, common, model_type)
 
+    # fused training stem (ops/fused_train_stem): each distal tower's
+    # BN->conv1->maxpool runs as one Pallas table kernel on raw codes.
+    # Mathematically the unfused composition (histogram-exact BN stats,
+    # identical parameter gradients) and fully tested, but measured
+    # SLOWER in-situ on v5e at B=2048 (f32 3.65 vs 3.05 ms/step, bf16
+    # 3.14 vs 1.89): the lane-padded (B*P, 128) window-code array plus
+    # the in-kernel one-hot rebuild cost more HBM/VPU than the pool
+    # complex they replace (docs/design.md records the three kernel
+    # designs tried).  'auto' therefore resolves to OFF; the op stays
+    # available opt-in for hardware where the tradeoff flips.
+    if opts.fused_stem == "on":
+        use_fused_stem = True
+    else:
+        use_fused_stem = False
+    use_fused_stem = (use_fused_stem and model_type == "snv"
+                      and opts.model_no in (1, 2, 3)
+                      and in_channels == 4 and not bw_distal
+                      and opts.distal_order == 1)
+    if use_fused_stem:
+        printer("fused train stem: on (one-hot+BN+conv+pool as one "
+                "table kernel)")
+
     variables = _init_variables(model, ds, opts.rng_seed)
     trainable_mask = None
     if config.get("transfer_learning"):
@@ -393,7 +419,8 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     state = pack_state(create_train_state(
         model, variables, config.get("optim", "Adam"),
         config["weight_decay"], schedule, trainable_mask=trainable_mask))
-    train_step = make_packed_train_step(model, state, bf16=opts.bf16)
+    train_step = make_packed_train_step(model, state, bf16=opts.bf16,
+                                        fused_stem=use_fused_stem)
     # K steps per dispatch amortise the fixed per-dispatch cost; the
     # leftover (< K) batches at the epoch end run the single step.
     # Auto default: 8 for the millisecond-scale SNV step (dispatch-
@@ -407,8 +434,10 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     if opts.profile_dir is not None:
         k_scan = 1
     train_step_scan = (make_packed_train_step_scan(
-        model, state, bf16=opts.bf16) if k_scan > 1 else None)
-    eval_step = make_packed_eval_step(model, state)
+        model, state, bf16=opts.bf16, fused_stem=use_fused_stem)
+        if k_scan > 1 else None)
+    eval_step = make_packed_eval_step(model, state,
+                                      fused_stem=use_fused_stem)
     base_rng = jax.random.key(opts.rng_seed)
 
     # -- device-resident data path (round-3): the whole epoch as one
@@ -442,7 +471,8 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             use_resident = res_train is not None
         if use_resident:
             resident_epoch = make_resident_epoch_fn(
-                model, state, ds_train.distal_width, bf16=opts.bf16)
+                model, state, ds_train.distal_width, bf16=opts.bf16,
+                fused_stem=use_fused_stem)
 
             # ---- epoch-0 compile warm-up (VERDICT r2 item 9) --------
             # dispatch the epoch program once on a copy of the state
@@ -463,11 +493,11 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
                         res_train.cat, res_train.cont, res_train.astart,
                         res_train.neg, zero_rows, base_rng)
                     wl.block_until_ready()
-                except Exception:
-                    pass        # real epoch 0 will surface any error
+                except Exception as e:  # real epoch 0 will surface it
+                    warm["err"] = e
 
             if valid_prep is not None:
-                warm = {"t0": time.time()}
+                warm = {"t0": time.time(), "err": None}
                 warm["thread"] = threading.Thread(target=_warm,
                                                   daemon=True)
                 warm["thread"].start()
@@ -483,7 +513,8 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
         use_resident = res_valid is not None
     if use_resident:
         resident_eval = make_resident_eval_fn(
-            model, state, ds_valid.distal_width)
+            model, state, ds_valid.distal_width,
+            fused_stem=use_fused_stem)
         # validation order is deterministic (no shuffle): compute
         # and upload the row/mask arrays once per trial
         vrows_np, vmasks_np, v_n_valids = stack_epoch_rows(
@@ -497,9 +528,14 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
                 f"one dispatch per epoch")
     if warm is not None:
         warm["thread"].join()
-        printer(f"epoch-0 train program warm-compiled in "
-                f"{time.time() - warm['t0']:.1f}s (overlapped with "
-                f"validation preprocess)")
+        if warm["err"] is not None:
+            printer(f"epoch-0 warm-compile failed "
+                    f"({type(warm['err']).__name__}: {warm['err']}); "
+                    f"epoch 0 will compile inline")
+        else:
+            printer(f"epoch-0 train program warm-compiled in "
+                    f"{time.time() - warm['t0']:.1f}s (overlapped with "
+                    f"validation preprocess)")
 
     # -- data-parallel mesh (extension over the single-device reference,
     # SURVEY.md 2.3): params replicate, batches shard on the 'data' axis,

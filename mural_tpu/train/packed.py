@@ -156,13 +156,16 @@ def pack_state(state: TrainState) -> PackedTrainState:
 
 def make_packed_train_step(model, pstate: PackedTrainState,
                            donate: bool = True,
-                           bf16: bool = False):
+                           bf16: bool = False,
+                           fused_stem: bool = False):
     """Same math as ``steps.make_train_step`` on the packed state.
     Output pytree is ~10 leaves instead of ~480.
 
     ``bf16``: bfloat16 activations/compute (params cast at use, f32
     optimizer + BatchNorm statistics + loss reduction) -- halves the
-    step's HBM working set, measured 1.65x on the SNV train step."""
+    step's HBM working set, measured 1.65x on the SNV train step.
+    ``fused_stem``: codes go to the model raw and each distal tower's
+    first BN+conv+pool runs as the fused table kernel (steps._forward)."""
     p_spec, s_spec, tx = pstate.p_spec, pstate.s_spec, pstate.tx
     act_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
@@ -178,7 +181,8 @@ def make_packed_train_step(model, pstate: PackedTrainState,
             logits, new_stats = _forward(model, params, stats, cat,
                                          cont, distal_codes, True,
                                          rng, distal_tracks,
-                                         dtype=act_dtype)
+                                         dtype=act_dtype,
+                                         fused_stem=fused_stem)
             loss = masked_ce_sum(logits, y, mask)
             return loss, pack_tree(new_stats, s_spec)
 
@@ -196,7 +200,8 @@ def make_packed_train_step(model, pstate: PackedTrainState,
 
 
 def make_packed_train_step_scan(model, pstate: PackedTrainState,
-                                bf16: bool = False):
+                                bf16: bool = False,
+                                fused_stem: bool = False):
     """K train steps per dispatch via ``lax.scan`` over stacked batches.
 
     Amortises the fixed per-dispatch wall cost (~0.5 ms through a remote
@@ -227,7 +232,8 @@ def make_packed_train_step_scan(model, pstate: PackedTrainState,
                 logits, new_stats = _forward(model, params, stats,
                                              cat, cont, codes, True,
                                              rng, tracks,
-                                             dtype=act_dtype)
+                                             dtype=act_dtype,
+                                             fused_stem=fused_stem)
                 loss = masked_ce_sum(logits, y, mask)
                 return loss, pack_tree(new_stats, s_spec)
 
@@ -263,7 +269,7 @@ def pack_variables(params: Any, batch_stats: Any):
     return flat_p, flat_s, p_spec, s_spec
 
 
-def make_packed_eval_step(model, specs):
+def make_packed_eval_step(model, specs, fused_stem: bool = False):
     """Eval forward taking the flat buffers directly (2 input leaves).
 
     ``specs``: anything with ``.p_spec``/``.s_spec`` (a
@@ -280,7 +286,8 @@ def make_packed_eval_step(model, specs):
         stats = unpack_tree(flat_s, s_spec)
         logits, _ = _forward(model, params, stats, cat, cont,
                              distal_codes, False,
-                             distal_tracks=distal_tracks)
+                             distal_tracks=distal_tracks,
+                             fused_stem=fused_stem)
         return logits, masked_ce_sum(logits, y, mask)
 
     return eval_step

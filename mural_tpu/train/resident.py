@@ -161,8 +161,35 @@ def _gather_onehot(arena2d, astart_all, neg_all, rows, dw, dtype,
     return jnp.where(neg[:, None, None], oh[:, ::-1, ::-1], oh)
 
 
+def _gather_codes(arena2d, astart_all, neg_all, rows, dw):
+    """(B,) row ids -> (B, dw) int32 codes, strand-resolved.
+
+    The fused-stem variant of :func:`_gather_onehot`: negative-strand
+    windows are reverse-complemented at the code level.  The 16-entry
+    complement permutation runs as an iota-compare matmul (small-table
+    gathers lower to serial dynamic-slice loops on TPU); values 0..15
+    are exactly representable in f32 so the round-trip is lossless.
+    """
+    from mural_tpu.genome.fasta import COMPLEMENT
+    from mural_tpu.ops.window_gather import gather_windows_blocked
+    a = astart_all[rows]
+    win = gather_windows_blocked(arena2d, a, dw).astype(jnp.int32)
+    comp_t = jnp.concatenate(
+        [jnp.asarray(COMPLEMENT, jnp.float32),
+         jnp.asarray([15.0], jnp.float32)]).reshape(16, 1)
+    oh = (win[:, :, None] ==
+          jax.lax.broadcasted_iota(jnp.int32, (1, 1, 16), 2)
+          ).astype(jnp.float32)
+    comp = jax.lax.dot_general(
+        oh, comp_t, dimension_numbers=(((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)[:, :, 0].astype(jnp.int32)
+    neg = neg_all[rows]
+    return jnp.where(neg[:, None], comp[:, ::-1], win)
+
+
 def make_resident_epoch_fn(model, pstate: PackedTrainState, dw: int,
-                           bf16: bool = False):
+                           bf16: bool = False,
+                           fused_stem: bool = False):
     """One-dispatch training epoch over resident data.
 
     ``epoch_fn(ps, res_args..., rows (n_steps, B), base_rng) ->
@@ -181,8 +208,12 @@ def make_resident_epoch_fn(model, pstate: PackedTrainState, dw: int,
             y = y_all[rows_b]
             cat = cat_all[rows_b]
             cont = None if cont_all is None else cont_all[rows_b]
-            distal = _gather_onehot(arena, astart_all, neg_all, rows_b,
-                                    dw, act_dtype)
+            if fused_stem:
+                distal = _gather_codes(arena, astart_all, neg_all,
+                                       rows_b, dw)
+            else:
+                distal = _gather_onehot(arena, astart_all, neg_all,
+                                        rows_b, dw, act_dtype)
             lr = ps.lr()
             rng = jax.random.fold_in(base_rng, ps.step)
 
@@ -222,7 +253,8 @@ def make_resident_epoch_fn(model, pstate: PackedTrainState, dw: int,
     return epoch_fn
 
 
-def make_resident_eval_fn(model, specs, dw: int):
+def make_resident_eval_fn(model, specs, dw: int,
+                          fused_stem: bool = False):
     """One-dispatch validation pass over resident data.
 
     ``eval_fn(flat_p, flat_s, res_args..., rows (n_steps, B),
@@ -245,8 +277,12 @@ def make_resident_eval_fn(model, specs, dw: int):
             y = y_all[rows_b]
             cat = cat_all[rows_b]
             cont = None if cont_all is None else cont_all[rows_b]
-            distal = _gather_onehot(arena, astart_all, neg_all, rows_b,
-                                    dw, jnp.float32)
+            if fused_stem:
+                distal = _gather_codes(arena, astart_all, neg_all,
+                                       rows_b, dw)
+            else:
+                distal = _gather_onehot(arena, astart_all, neg_all,
+                                        rows_b, dw, jnp.float32)
             logits = model.apply(variables, cat, cont, distal, False)
             return loss_acc + masked_ce_sum(logits, y, mask), logits
 

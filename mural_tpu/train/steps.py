@@ -32,15 +32,24 @@ def masked_ce_sum(logits, y, mask):
 
 
 def _forward(model, params, batch_stats, cat, cont, distal_codes, train,
-             dropout_rng=None, distal_tracks=None, dtype=jnp.float32):
+             dropout_rng=None, distal_tracks=None, dtype=jnp.float32,
+             fused_stem: bool = False):
     """``dtype``: activation dtype.  bfloat16 selects the mixed-precision
     path (params cast at use, BatchNorm statistics stay f32 -- see
-    TorchBatchNorm); f32 is the torch-parity default."""
+    TorchBatchNorm); f32 is the torch-parity default.
+
+    ``fused_stem``: pass the raw codes to the model so each distal
+    tower's first BN+conv+pool runs as the fused table kernel
+    (models/layers.FusedStemConvPool); requires no distal track
+    channels."""
     if dtype != jnp.float32:
         params = jax.tree.map(lambda a: a.astype(dtype), params)
         if cont is not None:
             cont = cont.astype(dtype)
-    distal = one_hot_from_codes(distal_codes, dtype)
+    if fused_stem and distal_tracks is None:
+        distal = distal_codes          # model dispatches on ndim == 2
+    else:
+        distal = one_hot_from_codes(distal_codes, dtype)
     if distal_tracks is not None:
         # per-base track values appended as extra distal channels
         # (in_channels = 4**distal_order + n_cont, the working version
