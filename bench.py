@@ -33,14 +33,36 @@ ITERS = 30
 V5E_BF16_PEAK_FLOPS = 197e12              # TPU v5e peak, bf16
 
 
+def _median_blocks(run_block, n_blocks=5, iters_per_block=6):
+    """Median per-iteration time over timing blocks.
+
+    The container's remote-compile/transport service stalls
+    unpredictably (docs/design.md section 6); a stall inside one long
+    timing loop poisons the mean, while the median of several short
+    blocks survives any minority of stalled blocks."""
+    times = []
+    for _ in range(n_blocks):
+        t0 = time.time()
+        run_block(iters_per_block)
+        times.append((time.time() - t0) / iters_per_block)
+    times.sort()
+    return times[len(times) // 2]
+
+
 def _measure_step(step, state, y, cat, codes, mask, rng, iters=ITERS):
-    state, loss, _ = step(state, y, cat, None, codes, mask, rng)
+    state_box = [state]
+    state_box[0], loss, _ = step(state_box[0], y, cat, None, codes,
+                                 mask, rng)
     loss.block_until_ready()        # compile + warmup
-    t0 = time.time()
-    for _ in range(iters):
-        state, loss, _ = step(state, y, cat, None, codes, mask, rng)
-    loss.block_until_ready()
-    return (time.time() - t0) / iters, state
+
+    def block(n):
+        for _ in range(n):
+            state_box[0], loss, _ = step(state_box[0], y, cat, None,
+                                         codes, mask, rng)
+        loss.block_until_ready()
+
+    dt = _median_blocks(block)
+    return dt, state_box[0]
 
 
 def _write_synthetic(td, n_genome, n_sites, rng):
@@ -74,11 +96,12 @@ def _write_synthetic(td, n_genome, n_sites, rng):
     return fa, bed, len(rows)
 
 
-def _e2e_epoch_rate():
+def _e2e_epoch_rate(bf16: bool = False):
     """Full train_trial steady-state epoch at production scale (1M
     sites, reference-default SNV hyperparameters, B=2048): host
     permutation + device-resident epoch dispatch + validation +
-    FullDirichlet calibration + checkpoint tail, end to end."""
+    FullDirichlet calibration + checkpoint tail, end to end.
+    ``bf16`` measures the recommended production configuration."""
     import os
     import tempfile
 
@@ -103,7 +126,7 @@ def _e2e_epoch_rate():
         opts = TrainOptions(
             train_data=bed, ref_genome=fa, n_class=4, model_no=2,
             epochs=4, valid_ratio=0.1, split_seed=10,
-            trial_dir=os.path.join(td, "t"), rng_seed=0)
+            trial_dir=os.path.join(td, "t"), rng_seed=0, bf16=bf16)
         # epoch 0 pays all compiles (and any remote-compile-service
         # stall); the best steady-state inter-report gap is the honest
         # epoch time
@@ -138,7 +161,7 @@ def _indel_step_rates():
     from mural_tpu.train.packed import make_packed_train_step, pack_state
     from mural_tpu.train.state import create_train_state
 
-    B, W = 64, 8000
+    W = 8000
     config = dict(CNN_out_channels=8, CNN_kernel_size=7,
                   down_list=[1, 4, 5, 5, 5, 2], use_reverse=False)
     common = dict(emb_dims=[], n_cont=0, n_class=8, distal_order=1,
@@ -151,12 +174,9 @@ def _indel_step_rates():
     variables_host = jax.tree.map(np.asarray, materialize_variables(
         {"params": template["params"],
          "batch_stats": template["batch_stats"]}, 0))
-    sched = LRSchedule.build("StepLR2", 1e-3, 0.98, B, 1_000_000,
+    sched = LRSchedule.build("StepLR2", 1e-3, 0.98, 64, 1_000_000,
                              1e-4, 1e-6)
     rng_np = np.random.default_rng(0)
-    y = jnp.asarray(rng_np.integers(0, 8, B).astype(np.int32))
-    codes = jnp.asarray(rng_np.integers(0, 15, (B, W)).astype(np.uint8))
-    mask = jnp.ones(B, jnp.float32)
     rng = jax.random.key(1)
 
     def fresh():
@@ -164,20 +184,31 @@ def _indel_step_rates():
             model, jax.device_put(variables_host), "AdamW", 0.01, sched))
 
     out = {}
-    for key, bf16 in (("f32", False), ("bf16", True)):
+    # B=64 pins the reference recipe's batch; the step is half
+    # dispatch-bound there -- B=128 is the measured saturation point
+    # (docs/usage.md batch guidance)
+    for key, bf16, B in (("f32", False, 64), ("bf16", True, 64),
+                         ("bf16_b128", True, 128)):
         try:
+            y = jnp.asarray(rng_np.integers(0, 8, B).astype(np.int32))
+            codes = jnp.asarray(
+                rng_np.integers(0, 15, (B, W)).astype(np.uint8))
+            mask = jnp.ones(B, jnp.float32)
             step = make_packed_train_step(model, fresh(), donate=True,
                                           bf16=bf16)
-            state = fresh()
-            state, loss, _ = step(state, y, None, None, codes, mask, rng)
+            sbox = [fresh()]
+            sbox[0], loss, _ = step(sbox[0], y, None, None, codes,
+                                    mask, rng)
             loss.block_until_ready()
-            t0 = time.time()
-            iters = 20
-            for _ in range(iters):
-                state, loss, _ = step(state, y, None, None, codes, mask,
-                                      rng)
-            loss.block_until_ready()
-            out[key] = B / ((time.time() - t0) / iters)
+
+            def block(n):
+                for _ in range(n):
+                    sbox[0], loss, _ = step(sbox[0], y, None, None,
+                                            codes, mask, rng)
+                loss.block_until_ready()
+
+            out[key] = B / _median_blocks(block, n_blocks=5,
+                                          iters_per_block=5)
         except Exception:
             out[key] = None
     return out
@@ -244,16 +275,22 @@ def _mini_pipeline():
         # genome-wide predict: the whole 1 Mb synthetic chromosome
         from mural_tpu.predict.genome_wide import (GenomePredictOptions,
                                                    run_genome_predict)
-        gopts = GenomePredictOptions(
-            ref_genome=os.path.join(ex, "seq.fa"),
-            model_path=os.path.join(ck, "model"),
-            model_config_path=os.path.join(ck, "model.config.pkl"),
-            calibrator_path=os.path.join(ck, "model.fdiri_cal.pkl"),
-            pred_file=os.path.join(td, "gp.tsv.gz"),
-            batch_size=2048, progress_every=10**9)
+        def gopts(path):
+            return GenomePredictOptions(
+                ref_genome=os.path.join(ex, "seq.fa"),
+                model_path=os.path.join(ck, "model"),
+                model_config_path=os.path.join(ck, "model.config.pkl"),
+                calibrator_path=os.path.join(ck, "model.fdiri_cal.pkl"),
+                pred_file=path, batch_size=2048, progress_every=10**9)
+        # warm-up run pays the compiles (the sustained number is the
+        # honest rate -- the production use is 10^8-site genomes where
+        # the one-off compile is noise; this mini-slice is 10^6)
+        run_genome_predict(gopts(os.path.join(td, "gp_warm.tsv.gz")),
+                           "snv", printer=lambda *a: None)
         t0 = time.time()
-        n_written = run_genome_predict(gopts, "snv",
-                                       printer=lambda *a: None)
+        n_written = run_genome_predict(
+            gopts(os.path.join(td, "gp.tsv.gz")), "snv",
+            printer=lambda *a: None)
         out["genome_predict_sites_per_sec"] = n_written / (time.time()
                                                            - t0)
     return out
@@ -320,15 +357,18 @@ def main():
     masks = jnp.broadcast_to(mask, (K,) + mask.shape)
 
     def _measure_scan(stepK):
-        stK = fresh_state()
-        stK, losses, _ = stepK(stK, ys, cats, None, codess, masks, rng)
+        sbox = [fresh_state()]
+        sbox[0], losses, _ = stepK(sbox[0], ys, cats, None, codess,
+                                   masks, rng)
         losses.block_until_ready()
-        t0 = time.time()
-        for _ in range(ITERS):
-            stK, losses, _ = stepK(stK, ys, cats, None, codess, masks,
-                                   rng)
-        losses.block_until_ready()
-        return (time.time() - t0) / ITERS / K
+
+        def block(n):
+            for _ in range(n):
+                sbox[0], losses, _ = stepK(sbox[0], ys, cats, None,
+                                           codess, masks, rng)
+            losses.block_until_ready()
+
+        return _median_blocks(block) / K
 
     # production path (f32): the headline.  The variants below are
     # informational; a remote-compile-service stall on one of them must
@@ -366,6 +406,10 @@ def main():
         e2e = _e2e_epoch_rate()
     except Exception:
         e2e = None
+    try:
+        e2e_bf16 = _e2e_epoch_rate(bf16=True)
+    except Exception:
+        e2e_bf16 = None
 
     # --- INDEL U-Net step rates ----------------------------------------
     try:
@@ -399,8 +443,12 @@ def main():
                                       else None),
         "e2e_epoch_windows_per_sec": (round(e2e, 1)
                                       if e2e is not None else None),
+        "e2e_bf16_epoch_windows_per_sec": (round(e2e_bf16, 1)
+                                           if e2e_bf16 is not None
+                                           else None),
         "indel_train_windows_per_sec": _r(indel.get("f32")),
         "indel_bf16_windows_per_sec": _r(indel.get("bf16")),
+        "indel_bf16_b128_windows_per_sec": _r(indel.get("bf16_b128")),
         "genome_predict_sites_per_sec": _r(
             pipe.get("genome_predict_sites_per_sec")),
         "kmer_corr_3mer": _r(pipe.get("kmer_corr_3mer"), 4),

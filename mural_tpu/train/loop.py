@@ -440,14 +440,39 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
                                       fused_stem=use_fused_stem)
     base_rng = jax.random.key(opts.rng_seed)
 
+    # -- data-parallel mesh (extension over the single-device reference,
+    # SURVEY.md 2.3): params replicate, batches shard on the 'data' axis,
+    # XLA derives the gradient all-reduce over ICI from the shardings.
+    # Built before the resident block so resident epochs can run
+    # mesh-sharded too (one dispatch per epoch per mesh).
+    mesh = None
+    batch_sharding_ = None
+    stacked_sharding_ = None
+    if opts.dp_devices > 1:
+        from mural_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                             replicated,
+                                             stacked_batch_sharding)
+        mesh = make_mesh(opts.dp_devices)
+        batch_sharding_ = batch_sharding(mesh)
+        stacked_sharding_ = stacked_batch_sharding(mesh)
+        state = jax.device_put(state, replicated(mesh))
+        base_rng = jax.device_put(base_rng, replicated(mesh))
+        if config["batch_size"] % opts.dp_devices:
+            raise ValueError(
+                f"batch_size {config['batch_size']} must be divisible "
+                f"by dp_devices {opts.dp_devices}")
+        printer(f"data-parallel training over {opts.dp_devices} devices")
+
     # -- device-resident data path (round-3): the whole epoch as one
     # dispatch over resident arrays; the host only computes the segment-
     # pool permutation.  Removes the host-feed gap (e2e 48k vs 713k+
     # device windows/s in round 2).  Falls back to the host-fed prefetch
-    # loop for per-base track channels, DP meshes, or data over budget.
+    # loop for per-base track channels or data over budget.  Composes
+    # with --dp_devices: resident arrays replicate over the mesh, each
+    # epoch's row array shards on its batch axis.
     use_resident = False
     warm = None
-    if (opts.resident != "off" and opts.dp_devices == 1
+    if (opts.resident != "off"
             and ds_train.distal_tracks is None
             and ds_train.n_sites >= config["batch_size"]):
         from mural_tpu.train.resident import (estimate_resident_bytes,
@@ -466,13 +491,18 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             2 if ds_valid is None else 1)
         if ds_valid is not None:
             est += estimate_resident_bytes(ds_valid)
+        # resident arrays replicate over a DP mesh; epoch row arrays
+        # shard on their batch axis (stacked_sharding_'s P(None, 'data'))
+        # ('replicated' is in scope exactly when mesh is not None)
+        res_device = opts.device if mesh is None else replicated(mesh)
+        rows_device = stacked_sharding_ if mesh is not None else opts.device
         if opts.resident == "on" or est <= budget:
-            res_train = make_resident(ds_train, device=opts.device)
+            res_train = make_resident(ds_train, device=res_device)
             use_resident = res_train is not None
         if use_resident:
             resident_epoch = make_resident_epoch_fn(
                 model, state, ds_train.distal_width, bf16=opts.bf16,
-                fused_stem=use_fused_stem)
+                fused_stem=use_fused_stem, mesh=mesh)
 
             # ---- epoch-0 compile warm-up (VERDICT r2 item 9) --------
             # dispatch the epoch program once on a copy of the state
@@ -509,23 +539,25 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     valid_size = ds_valid.n_sites
 
     if use_resident:
-        res_valid = make_resident(ds_valid, device=opts.device)
+        res_valid = make_resident(ds_valid, device=res_device)
         use_resident = res_valid is not None
     if use_resident:
         resident_eval = make_resident_eval_fn(
             model, state, ds_valid.distal_width,
-            fused_stem=use_fused_stem)
+            fused_stem=use_fused_stem, mesh=mesh)
         # validation order is deterministic (no shuffle): compute
         # and upload the row/mask arrays once per trial
         vrows_np, vmasks_np, v_n_valids = stack_epoch_rows(
             ds_valid, config["sampled_segments"],
             config["batch_size"], shuffle=False, pad_final=True)
-        vrows_dev = jax.device_put(vrows_np, opts.device)
-        vmasks_dev = jax.device_put(vmasks_np, opts.device)
+        vrows_dev = jax.device_put(vrows_np, rows_device)
+        vmasks_dev = jax.device_put(vmasks_np, rows_device)
         printer(f"device-resident data: train arena "
                 f"{res_train.arena.nbytes / 1e6:.1f} MB, "
                 f"valid arena {res_valid.arena.nbytes / 1e6:.1f} MB, "
-                f"one dispatch per epoch")
+                f"one dispatch per epoch"
+                + (f" over {opts.dp_devices} devices"
+                   if mesh is not None else ""))
     if warm is not None:
         warm["thread"].join()
         if warm["err"] is not None:
@@ -536,26 +568,6 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             printer(f"epoch-0 train program warm-compiled in "
                     f"{time.time() - warm['t0']:.1f}s (overlapped with "
                     f"validation preprocess)")
-
-    # -- data-parallel mesh (extension over the single-device reference,
-    # SURVEY.md 2.3): params replicate, batches shard on the 'data' axis,
-    # XLA derives the gradient all-reduce over ICI from the shardings.
-    batch_sharding_ = None
-    stacked_sharding_ = None
-    if opts.dp_devices > 1:
-        from mural_tpu.parallel.mesh import (batch_sharding, make_mesh,
-                                             replicated,
-                                             stacked_batch_sharding)
-        mesh = make_mesh(opts.dp_devices)
-        batch_sharding_ = batch_sharding(mesh)
-        stacked_sharding_ = stacked_batch_sharding(mesh)
-        state = jax.device_put(state, replicated(mesh))
-        base_rng = jax.device_put(base_rng, replicated(mesh))
-        if config["batch_size"] % opts.dp_devices:
-            raise ValueError(
-                f"batch_size {config['batch_size']} must be divisible "
-                f"by dp_devices {opts.dp_devices}")
-        printer(f"data-parallel training over {opts.dp_devices} devices")
 
     prob_names = [f"prob{i}" for i in range(opts.n_class)]
     data_local_valid = ds_valid.local_frame()
@@ -681,7 +693,7 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             state, total_loss_dev, _lr = resident_epoch(
                 state, res_train.arena, res_train.y, res_train.cat,
                 res_train.cont, res_train.astart, res_train.neg,
-                jax.device_put(rows_np, opts.device), base_rng)
+                jax.device_put(rows_np, rows_device), base_rng)
             batch_count = rows_np.shape[0]
         else:
             # device-side loss accumulator: keeping the scalar on device

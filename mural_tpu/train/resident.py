@@ -189,7 +189,8 @@ def _gather_codes(arena2d, astart_all, neg_all, rows, dw):
 
 def make_resident_epoch_fn(model, pstate: PackedTrainState, dw: int,
                            bf16: bool = False,
-                           fused_stem: bool = False):
+                           fused_stem: bool = False,
+                           mesh=None):
     """One-dispatch training epoch over resident data.
 
     ``epoch_fn(ps, res_args..., rows (n_steps, B), base_rng) ->
@@ -197,11 +198,29 @@ def make_resident_epoch_fn(model, pstate: PackedTrainState, dw: int,
     ps.step, masked CE-sum, optimizer update) is identical to
     ``make_packed_train_step``, so an epoch here equals the host-fed
     epoch batch for batch (tests/test_resident.py).
-    """
+
+    ``mesh``: data-parallel resident epochs.  State and resident arrays
+    replicate, ``rows`` shards on its batch axis (P(None, 'data')); XLA
+    derives the per-step gradient/BN-stat all-reduce over ICI from the
+    shardings, exactly like the per-step DP path
+    (``packed.make_packed_train_step`` under ``--dp_devices``), but the
+    whole epoch stays one dispatch."""
     p_spec, s_spec, tx = pstate.p_spec, pstate.s_spec, pstate.tx
     act_dtype = jnp.bfloat16 if bf16 else jnp.float32
 
-    @partial(jax.jit, donate_argnums=(0,))
+    if mesh is None:
+        jit = partial(jax.jit, donate_argnums=(0,))
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+        rows_sh = NamedSharding(mesh, P(None, "data"))
+        jit = partial(
+            jax.jit, donate_argnums=(0,),
+            in_shardings=(rep, rep, rep, rep, rep, rep, rep, rows_sh,
+                          rep),
+            out_shardings=(rep, rep, rep))
+
+    @jit
     def epoch_fn(ps: PackedTrainState, arena, y_all, cat_all, cont_all,
                  astart_all, neg_all, rows, base_rng):
         def body(ps, rows_b):
@@ -254,18 +273,33 @@ def make_resident_epoch_fn(model, pstate: PackedTrainState, dw: int,
 
 
 def make_resident_eval_fn(model, specs, dw: int,
-                          fused_stem: bool = False):
+                          fused_stem: bool = False,
+                          mesh=None):
     """One-dispatch validation pass over resident data.
 
     ``eval_fn(flat_p, flat_s, res_args..., rows (n_steps, B),
     masks (n_steps, B)) -> (logits (n_steps, B, n_class), loss_sum)``.
+    ``mesh``: batch-sharded validation (see make_resident_epoch_fn).
     """
     if isinstance(specs, tuple):
         p_spec, s_spec = specs
     else:
         p_spec, s_spec = specs.p_spec, specs.s_spec
 
-    @jax.jit
+    if mesh is None:
+        jit = jax.jit
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+        rows_sh = NamedSharding(mesh, P(None, "data"))
+        jit = partial(
+            jax.jit,
+            in_shardings=(rep, rep, rep, rep, rep, rep, rep, rep,
+                          rows_sh, rows_sh),
+            out_shardings=(NamedSharding(mesh, P(None, "data", None)),
+                           rep))
+
+    @jit
     def eval_fn(flat_p, flat_s, arena, y_all, cat_all, cont_all,
                 astart_all, neg_all, rows, masks):
         params = unpack_tree(flat_p, p_spec)

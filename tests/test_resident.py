@@ -240,3 +240,131 @@ def test_train_trial_with_validation_file_overlap(tiny_genome, tiny_bed,
     assert "validation preprocess ran on a worker" in joined
     assert "warm-compiled" in joined
     assert "device-resident data" in joined
+
+
+def test_resident_epoch_mesh_matches_single_device(ds):
+    """Mesh-sharded resident epochs (loop.py `--dp_devices` + resident)
+    must reproduce the single-device resident trajectory: same summed
+    loss, same final params/stats, same eval logits.  The mesh variant
+    replicates state/resident arrays and shards the row array on its
+    batch axis; XLA inserts the per-step all-reduces.  SGD keeps the
+    comparison tight (see test_resident_epoch_matches_host_steps)."""
+    from mural_tpu.models.snv import SNVNet2
+    from mural_tpu.parallel.mesh import (make_mesh, replicated,
+                                         stacked_batch_sharding)
+    from mural_tpu.train.optim import LRSchedule
+    from mural_tpu.train.packed import pack_state
+    from mural_tpu.train.state import create_train_state
+
+    n_dev = 4
+    if jax.device_count() < n_dev:
+        pytest.skip("needs >= 4 virtual devices")
+    B = 32                                 # 8 rows per device
+    model = SNVNet2(emb_vocab=65, n_cat=ds.cat.shape[1],
+                    lin_layer_sizes=[24, 12],
+                    emb_dropout=0.1, lin_layer_dropouts=[0.1, 0.1],
+                    in_channels=4, out_channels=8, kernel_size=3,
+                    distal_fc_dropout=0.1, n_class=4)
+    cat0 = jnp.asarray(ds.cat[:2].astype(np.int32))
+    oh0 = jnp.zeros((2, ds.distal_width, 4), jnp.float32)
+    variables = model.init(jax.random.key(0), cat0, None, oh0, False)
+    sched = LRSchedule.build("StepLR", 5e-3, 0.9, B, ds.n_sites,
+                             1e-4, 1e-6)
+
+    def fresh_state():
+        return pack_state(create_train_state(
+            model, variables, "SGD", 0.0, sched))
+
+    base_rng = jax.random.key(3)
+    res = make_resident(ds)
+    rows, _, _ = stack_epoch_rows(ds, 3, B, shuffle=True,
+                                  rng=np.random.default_rng(11))
+
+    # ---- single device ------------------------------------------------
+    state_1 = fresh_state()
+    epoch_1 = make_resident_epoch_fn(model, state_1, ds.distal_width)
+    state_1, loss_1, _ = epoch_1(
+        state_1, res.arena, res.y, res.cat, res.cont, res.astart,
+        res.neg, jnp.asarray(rows), base_rng)
+
+    # ---- mesh ---------------------------------------------------------
+    mesh = make_mesh(n_dev)
+    rep = replicated(mesh)
+    rows_sh = stacked_batch_sharding(mesh)
+    res_m = make_resident(ds, device=rep)
+    state_m = jax.device_put(fresh_state(), rep)
+    epoch_m = make_resident_epoch_fn(model, state_m, ds.distal_width,
+                                     mesh=mesh)
+    state_m, loss_m, _ = epoch_m(
+        state_m, res_m.arena, res_m.y, res_m.cat, res_m.cont,
+        res_m.astart, res_m.neg, jax.device_put(rows, rows_sh),
+        jax.device_put(base_rng, rep))
+
+    assert float(loss_m) == pytest.approx(float(loss_1), rel=1e-5)
+    # per-shard partial sums + psum reorder f32 reductions vs the
+    # single-device program: measured absmax 2.3e-6 (params) / 6.1e-6
+    # (stats) after 12 SGD steps; atol 1e-5 keeps ~4x margin
+    np.testing.assert_allclose(np.asarray(state_m.flat_params),
+                               np.asarray(state_1.flat_params),
+                               rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(state_m.flat_stats),
+                               np.asarray(state_1.flat_stats),
+                               rtol=2e-5, atol=1e-5)
+
+    # ---- sharded eval matches single-device eval ----------------------
+    vrows, vmasks, n_valids = stack_epoch_rows(ds, 3, B, shuffle=False,
+                                               pad_final=True)
+    eval_1 = make_resident_eval_fn(model, state_1, ds.distal_width)
+    lg_1, vloss_1 = eval_1(state_1.flat_params, state_1.flat_stats,
+                           res.arena, res.y, res.cat, res.cont,
+                           res.astart, res.neg, jnp.asarray(vrows),
+                           jnp.asarray(vmasks))
+    eval_m = make_resident_eval_fn(model, state_m, ds.distal_width,
+                                   mesh=mesh)
+    lg_m, vloss_m = eval_m(state_m.flat_params, state_m.flat_stats,
+                           res_m.arena, res_m.y, res_m.cat, res_m.cont,
+                           res_m.astart, res_m.neg,
+                           jax.device_put(vrows, rows_sh),
+                           jax.device_put(vmasks, rows_sh))
+    assert float(vloss_m) == pytest.approx(float(vloss_1), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(lg_m), np.asarray(lg_1),
+                               rtol=2e-5, atol=1e-5)
+
+
+def test_train_trial_resident_dp_matches_single(tiny_genome, tiny_bed,
+                                                tmp_path):
+    """Full train_trial: resident + --dp_devices 4 must match resident
+    single-device losses (loop.py composition of the two paths).
+
+    One epoch at rel=5e-3, the same trajectory tolerance as
+    test_train_trial_resident_matches_host: per-step equivalence is
+    pinned tight by test_resident_epoch_mesh_matches_single_device;
+    across a whole trial the psum reduction reordering (~1e-6) chaos-
+    amplifies through BatchNorm running stats (measured 6e-4 on the
+    epoch-0 validation loss here)."""
+    from mural_tpu.train.loop import TrainOptions, train_trial
+
+    if jax.device_count() < 4:
+        pytest.skip("needs >= 4 virtual devices")
+
+    config = dict(
+        local_radius=4, local_order=2, local_dropout=0.0,
+        distal_fc_dropout=0.0, emb_dropout=0.0,
+        local_hidden1_size=24, local_hidden2_size=12,
+        distal_radius=30, segment_center=10_000,
+        sampled_segments=3, batch_size=32, optim="SGD",
+        learning_rate=5e-3, lr_scheduler="StepLR", LR_gamma=0.9,
+        weight_decay=0.0, weight_decay_auto=None, restart_lr=1e-4,
+        min_lr=1e-6, CNN_kernel_size=3, CNN_out_channels=8,
+        transfer_learning=False)
+
+    losses = {}
+    for dp in (1, 4):
+        opts = TrainOptions(
+            train_data=tiny_bed, ref_genome=tiny_genome["path"],
+            n_class=4, model_no=2, epochs=1, valid_ratio=0.2,
+            split_seed=7, trial_dir=str(tmp_path / f"dp{dp}"),
+            rng_seed=0, dp_devices=dp, resident="on")
+        m = train_trial(config, opts, "snv")
+        losses[dp] = m["loss"]
+    assert losses[4] == pytest.approx(losses[1], rel=5e-3)
