@@ -107,7 +107,8 @@ def estimate_resident_bytes(ds) -> int:
     dw = ds.distal_width
     arena_bound = min(sum(len(c) for c in ds.chrom_codes) + 2 * dw,
                       ds.n_sites * dw + 2 * dw)
-    per_site = (4 + 4 * ds.cat.shape[1] + 8 + 1
+    cat_itemsize = np.dtype(_smallest_int(ds.cat)).itemsize
+    per_site = (1 + cat_itemsize * ds.cat.shape[1] + 8 + 1
                 + (4 * ds.n_cont if ds.cont is not None else 0))
     return arena_bound + per_site * ds.n_sites
 
@@ -125,6 +126,16 @@ class ResidentData:
     n_sites: int
 
 
+def _smallest_int(a: np.ndarray):
+    """Smallest signed/unsigned integer dtype that holds ``a``
+    losslessly (non-negative arrays assumed, as k-mer ids are)."""
+    if a.size == 0 or a.max() < 256:
+        return np.uint8
+    if a.max() < 2 ** 15:
+        return np.int16
+    return np.int32
+
+
 def make_resident(ds, device=None) -> Optional[ResidentData]:
     """Build and upload the resident arrays; None if the dataset needs
     the host path (per-base distal track channels stream from the host
@@ -140,8 +151,14 @@ def make_resident(ds, device=None) -> Optional[ResidentData]:
     put = partial(jax.device_put, device=device)
     return ResidentData(
         arena=put(pad_arena_rows(arena, ds.distal_width)),
-        y=put(ds.y.astype(np.int32)),
-        cat=put(ds.cat.astype(np.int32)),
+        # narrowest lossless dtypes: the one-time upload rides a
+        # (possibly slow) host->device transport and is the resident
+        # path's whole startup cost at 10M+ sites (k-mer ids are
+        # < 4**local_order + 1, labels < n_class <= 255); the epoch
+        # body casts back to int32 on device
+        y=put(ds.y.astype(np.uint8 if ds.y.size == 0
+                          or ds.y.max() < 256 else np.int32)),
+        cat=put(ds.cat.astype(_smallest_int(ds.cat))),
         cont=None if ds.cont is None else put(ds.cont),
         astart=put(astart),
         neg=put(ds.strand_neg.astype(bool)),
@@ -224,8 +241,8 @@ def make_resident_epoch_fn(model, pstate: PackedTrainState, dw: int,
     def epoch_fn(ps: PackedTrainState, arena, y_all, cat_all, cont_all,
                  astart_all, neg_all, rows, base_rng):
         def body(ps, rows_b):
-            y = y_all[rows_b]
-            cat = cat_all[rows_b]
+            y = y_all[rows_b].astype(jnp.int32)
+            cat = cat_all[rows_b].astype(jnp.int32)
             cont = None if cont_all is None else cont_all[rows_b]
             if fused_stem:
                 distal = _gather_codes(arena, astart_all, neg_all,
@@ -308,8 +325,8 @@ def make_resident_eval_fn(model, specs, dw: int,
 
         def body(loss_acc, xs):
             rows_b, mask = xs
-            y = y_all[rows_b]
-            cat = cat_all[rows_b]
+            y = y_all[rows_b].astype(jnp.int32)
+            cat = cat_all[rows_b].astype(jnp.int32)
             cont = None if cont_all is None else cont_all[rows_b]
             if fused_stem:
                 distal = _gather_codes(arena, astart_all, neg_all,
