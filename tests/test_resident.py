@@ -368,3 +368,92 @@ def test_train_trial_resident_dp_matches_single(tiny_genome, tiny_bed,
         m = train_trial(config, opts, "snv")
         losses[dp] = m["loss"]
     assert losses[4] == pytest.approx(losses[1], rel=5e-3)
+
+
+def test_resident_epoch_matches_host_steps_indel(tiny_genome, tiny_bed):
+    """The resident path is model-family-agnostic: an INDEL U-Net epoch
+    (gap-anchored 2r windows, `cat` present but unused by the model,
+    ref model_indel.py:21-179) must reproduce the host-fed packed-step
+    trajectory just like the SNV test above.  SGD keeps it tight."""
+    from mural_tpu.models.indel import UNetSmall
+    from mural_tpu.train.optim import LRSchedule
+    from mural_tpu.train.packed import (make_packed_eval_step,
+                                        make_packed_train_step,
+                                        pack_state)
+    from mural_tpu.train.state import create_train_state
+
+    ids = prepare_dataset(tiny_bed, tiny_genome["path"],
+                          central_bp=10_000, local_radius=3,
+                          local_order=1, distal_radius=50,
+                          model_type="indel")
+    assert ids.distal_width == 100
+    B = 32
+    model = UNetSmall(n_class=4, out_channels=4, kernel_size=3,
+                      downsize=(1, 2, 5, 5, 2, 1))
+    oh0 = jnp.zeros((2, ids.distal_width, 4), jnp.float32)
+    variables = model.init(jax.random.key(0), None, None, oh0, False)
+    sched = LRSchedule.build("StepLR", 5e-3, 0.9, B, ids.n_sites,
+                             1e-4, 1e-6)
+
+    def fresh_state():
+        return pack_state(create_train_state(
+            model, variables, "SGD", 0.0, sched))
+
+    base_rng = jax.random.key(3)
+
+    # ---- host path ---------------------------------------------------
+    state_h = fresh_state()
+    step = make_packed_train_step(model, state_h, donate=False)
+    host_losses = []
+    for b in segment_pool_batches(ids, 3, B, shuffle=True,
+                                  rng=np.random.default_rng(11)):
+        state_h, loss, _ = step(
+            state_h, jnp.asarray(b.y), jnp.asarray(b.cat), None,
+            jnp.asarray(b.distal),
+            jnp.full(B, 1.0, jnp.float32), base_rng)
+        host_losses.append(float(loss))
+
+    # ---- resident path ----------------------------------------------
+    res = make_resident(ids)
+    state_r = fresh_state()
+    epoch_fn = make_resident_epoch_fn(model, state_r, ids.distal_width)
+    rows, _, _ = stack_epoch_rows(ids, 3, B, shuffle=True,
+                                  rng=np.random.default_rng(11))
+    state_r, total_loss, _ = epoch_fn(
+        state_r, res.arena, res.y, res.cat, res.cont, res.astart,
+        res.neg, jnp.asarray(rows), base_rng)
+
+    assert float(total_loss) == pytest.approx(sum(host_losses),
+                                              rel=1e-5)
+    np.testing.assert_allclose(np.asarray(state_r.flat_params),
+                               np.asarray(state_h.flat_params),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(state_r.flat_stats),
+                               np.asarray(state_h.flat_stats),
+                               rtol=2e-5, atol=1e-6)
+
+    # ---- resident eval matches host eval -----------------------------
+    eval_host = make_packed_eval_step(model, state_h)
+    logits_h, vloss_h = [], 0.0
+    for b in segment_pool_batches(ids, 3, B, shuffle=False,
+                                  pad_final=True):
+        lg, vl = eval_host(state_h.flat_params, state_h.flat_stats,
+                           jnp.asarray(b.y), jnp.asarray(b.cat), None,
+                           jnp.asarray(b.distal),
+                           jnp.asarray((np.arange(B) < b.n_valid)
+                                       .astype(np.float32)))
+        logits_h.append(np.asarray(lg)[:b.n_valid])
+        vloss_h += float(vl)
+    logits_h = np.concatenate(logits_h)
+
+    eval_fn = make_resident_eval_fn(model, state_r, ids.distal_width)
+    vrows, vmasks, n_valids = stack_epoch_rows(ids, 3, B, shuffle=False,
+                                               pad_final=True)
+    lg_r, vloss_r = eval_fn(state_r.flat_params, state_r.flat_stats,
+                            res.arena, res.y, res.cat, res.cont,
+                            res.astart, res.neg, jnp.asarray(vrows),
+                            jnp.asarray(vmasks))
+    lg_r = np.concatenate([np.asarray(lg_r)[i, :n]
+                           for i, n in enumerate(n_valids)])
+    assert float(vloss_r) == pytest.approx(vloss_h, rel=1e-5)
+    np.testing.assert_allclose(lg_r, logits_h, rtol=2e-5, atol=1e-6)
