@@ -141,18 +141,20 @@ class MultinomialRegression:
 
         cpu = jax.devices("cpu")[0]
         with jax.enable_x64(True), jax.default_device(cpu):
-            obj = partial(_objective, k=k, method=self.method,
-                          reg_lambda=reg_lambda, reg_mu=reg_mu,
-                          ref_row=self.ref_row, reg_format=self.reg_format)
             if (self.optimizer == "newton"
                     or (self.optimizer == "auto" and k <= 36)):
                 weights = _newton_solve(
-                    obj, w0, X_, target, self.method, k=k,
+                    w0, X_, target, self.method, k=k,
                     reg_lambda=reg_lambda, reg_mu=reg_mu,
                     ref_row=self.ref_row, reg_format=self.reg_format)
             elif (self.optimizer == "fmin_l_bfgs_b"
                     or (self.optimizer == "auto" and k > 36)):
                 import scipy.optimize
+
+                obj = partial(_objective, k=k, method=self.method,
+                              reg_lambda=reg_lambda, reg_mu=reg_mu,
+                              ref_row=self.ref_row,
+                              reg_format=self.reg_format)
                 grad = jax.grad(obj)
                 res = scipy.optimize.fmin_l_bfgs_b(
                     func=lambda w: float(obj(w, X_, target)),
@@ -233,7 +235,7 @@ def _obj_value(weights, X, target, reg_lambda, reg_mu, *, k, method,
                       ref_row=ref_row, reg_format=reg_format)
 
 
-def _newton_solve(obj, w0, X, target, method, *, k, reg_lambda, reg_mu,
+def _newton_solve(w0, X, target, method, *, k, reg_lambda, reg_mu,
                   ref_row, reg_format) -> np.ndarray:
     weights = jnp.asarray(w0, jnp.float64)
     reg_mu_none = reg_mu is None

@@ -86,9 +86,11 @@ def _learning_args(p, lr_default):
                    help="Run each distal tower's one-hot+BN+conv+maxpool "
                         "stem as one fused TPU kernel during training "
                         "(histogram-exact BatchNorm statistics, "
-                        "identical parameter gradients). 'auto' enables "
-                        "it for SNV tower models on TPU without distal "
-                        "track channels. Default: auto.")
+                        "identical parameter gradients). Measured slower "
+                        "than XLA's own fusion on v5e, so 'auto' "
+                        "currently resolves to off; 'on' opts in (SNV "
+                        "tower models without distal track channels "
+                        "only). Default: auto.")
     return g
 
 

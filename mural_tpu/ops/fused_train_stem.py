@@ -100,13 +100,16 @@ def hist_batch_stats(codes):
     from mural_tpu.genome.encode import ONE_HOT_TABLE
     c = codes.astype(jnp.int32)
     n = c.size
-    # 15 fused compare+reduce passes; counts are exact in f32 (n < 2^24
-    # for every supported batch x window product per compare)
+    # 15 fused compare+reduce passes.  f32 accumulation is exact only
+    # below 2^24 elements; past that (e.g. B=16384 x L=1601) switch to
+    # int32 counts (exact to 2^31) so the "histogram-exact" contract
+    # holds for every static shape rather than silently rounding.
+    acc_dtype = jnp.float32 if n < (1 << 24) else jnp.int32
     cnt = jnp.sum(
         (c[..., None] ==
          jax.lax.broadcasted_iota(jnp.int32, (1,) * c.ndim + (15,),
-                                  c.ndim)).astype(jnp.float32),
-        axis=tuple(range(c.ndim)))                       # (15,)
+                                  c.ndim)).astype(acc_dtype),
+        axis=tuple(range(c.ndim))).astype(jnp.float32)   # (15,)
     t = jnp.asarray(ONE_HOT_TABLE)                       # (15, 4)
     mean = (cnt @ t) / n
     ex2 = (cnt @ (t * t)) / n

@@ -80,8 +80,10 @@ class TrainOptions:
     resident: str = "auto"             # device-resident data: auto|on|off
     fused_stem: str = "auto"           # fused one-hot+BN+conv+pool
                                        # training stem: auto|on|off
-                                       # (auto = on for SNV towers on
-                                       # TPU, seq-only, single device)
+                                       # (auto resolves OFF -- measured
+                                       # slower in-situ than XLA's own
+                                       # fusion; 'on' opts in for SNV
+                                       # towers, seq-only)
     resident_max_bytes: Optional[int] = None  # auto-mode budget
                                        # (default 8 GiB, or env
                                        # MURAL_RESIDENT_MAX_BYTES)
@@ -355,11 +357,7 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     # complex they replace (docs/design.md records the three kernel
     # designs tried).  'auto' therefore resolves to OFF; the op stays
     # available opt-in for hardware where the tradeoff flips.
-    if opts.fused_stem == "on":
-        use_fused_stem = True
-    else:
-        use_fused_stem = False
-    use_fused_stem = (use_fused_stem and model_type == "snv"
+    use_fused_stem = (opts.fused_stem == "on" and model_type == "snv"
                       and opts.model_no in (1, 2, 3)
                       and in_channels == 4 and not bw_distal
                       and opts.distal_order == 1)
@@ -505,24 +503,24 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
                 fused_stem=use_fused_stem, mesh=mesh)
 
             # ---- epoch-0 compile warm-up (VERDICT r2 item 9) --------
-            # dispatch the epoch program once on a copy of the state
-            # with zero rows so XLA compiles NOW, overlapping the
-            # validation worker's preprocessing; the real epoch 0 then
-            # hits the jit cache.
+            # AOT-compile the epoch program NOW (lower().compile()
+            # seeds the jit dispatch cache in this JAX: first real call
+            # does zero new XLA compiles, only a ~us re-trace),
+            # overlapping the validation worker's preprocessing.  No
+            # device execution happens -- an earlier version dispatched
+            # a discarded zero-rows epoch, paying up to a full epoch of
+            # device time when validation preprocessing finished first.
             n_steps0 = train_size // config["batch_size"]
 
             def _warm():
                 try:
-                    state_copy = jax.tree.map(
-                        lambda x: x.copy() if hasattr(x, "copy") else x,
-                        state)
-                    zero_rows = jnp.zeros(
-                        (n_steps0, config["batch_size"]), jnp.int32)
-                    _, wl, _ = resident_epoch(
-                        state_copy, res_train.arena, res_train.y,
+                    zero_rows = jax.device_put(
+                        np.zeros((n_steps0, config["batch_size"]),
+                                 np.int32), rows_device)
+                    resident_epoch.lower(
+                        state, res_train.arena, res_train.y,
                         res_train.cat, res_train.cont, res_train.astart,
-                        res_train.neg, zero_rows, base_rng)
-                    wl.block_until_ready()
+                        res_train.neg, zero_rows, base_rng).compile()
                 except Exception as e:  # real epoch 0 will surface it
                     warm["err"] = e
 
@@ -538,6 +536,19 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
         printer("train_size, valid_size:", train_size, ds_valid.n_sites)
     valid_size = ds_valid.n_sites
 
+    if use_resident and opts.resident != "on" and valid_prep is not None:
+        # the pre-join budget gate could only assume valid <= train
+        # (2x the train estimate); recheck with the real validation
+        # dataset before uploading -- a validation file much larger
+        # than the training set must fall back to the host-fed path
+        # instead of OOMing the device mid-trial
+        est_now = (estimate_resident_bytes(ds_train)
+                   + estimate_resident_bytes(ds_valid))
+        if est_now > budget:
+            printer(f"device-resident data: validation set exceeds the "
+                    f"budget ({est_now / 2**30:.2f} GiB > "
+                    f"{budget / 2**30:.2f} GiB); using host-fed batches")
+            use_resident = False
     if use_resident:
         res_valid = make_resident(ds_valid, device=res_device)
         use_resident = res_valid is not None
@@ -680,6 +691,12 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             tail["stop"] = True
 
     for epoch in range(opts.epochs):
+        if tail["stop"]:
+            # the overlapped tail already reported a scheduler stop:
+            # don't dispatch another epoch (the resident path commits a
+            # whole epoch per dispatch, so this is its only chance to
+            # honor the stop before paying train+valid device time)
+            break
         epoch_t = time.time()
         profiling = (opts.profile_dir is not None and epoch == 0)
         if profiling:

@@ -165,22 +165,35 @@ class _SchedulerBridge:
 def _process_entry(conn, trial_id, config, opts, model_type,
                    device_index, n_parallel, platforms):
     """Spawned-process trial body: initialises its own JAX runtime on
-    the parent's platform and pins to ``devices()[device_index]`` when
-    trials are packed.
+    the parent's platform and pins to the same device slot the threaded
+    executor would use (``launch_idx % n_parallel``, confining packed
+    trials to the first ``n_parallel`` devices).
 
     ``platforms`` is the parent's ``jax_platforms`` config, applied via
     ``jax.config`` -- the env var alone is NOT enough (a site
     customisation can force-register an accelerator backend regardless,
     and the child must match the parent's platform for trial
-    equivalence)."""
+    equivalence).
+
+    On a real TPU VM with local libtpu a child process cannot attach to
+    chips the parent runtime already holds; best-effort per-process chip
+    isolation is requested via the standard env vars (settable by the
+    user first -- ``setdefault`` never overrides), which makes each
+    child see exactly its own chip where the deployment supports it."""
     try:
+        if not platforms or "cpu" not in str(platforms):
+            slot = str(device_index % max(n_parallel, 1))
+            os.environ.setdefault("TPU_VISIBLE_DEVICES", slot)
+            os.environ.setdefault("TPU_VISIBLE_CHIPS", slot)
         import jax
         if platforms:
             jax.config.update("jax_platforms", platforms)
         dev = None
         if n_parallel > 1:
             devs = jax.devices()
-            dev = devs[device_index % len(devs)]
+            # matches the threaded executor's launch_idx % n_parallel;
+            # an env-isolated TPU child sees a single device (len 1)
+            dev = devs[device_index % min(n_parallel, len(devs))]
         out = _trial_worker(trial_id, config, opts, model_type,
                             _SchedulerBridge(conn), device=dev,
                             progress=None)
@@ -214,27 +227,33 @@ def _run_trial_in_process(trial_id, config, opts, model_type,
     child.close()
     metrics, err_repr = None, None
     iteration = 0
-    while True:
-        try:
-            msg = parent.recv()
-        except EOFError:            # child died without 'done'
-            err_repr = "trial process exited unexpectedly"
-            break
-        if msg[0] == "report":
-            _, iteration, m = msg
-            if progress is not None:
-                progress.update(trial_id, "RUNNING", iteration, m)
-            keep = True
-            if m.get("after_min_loss", 0) >= AFTER_MIN_LOSS_STOP:
-                keep = False
-            if keep and scheduler is not None:
-                keep = scheduler.on_report(trial_id, iteration, m)
-            parent.send(keep)
-        else:                       # ("done", metrics, err_repr)
-            _, metrics, err_repr = msg
-            break
-    proc.join()
-    parent.close()
+    try:
+        while True:
+            try:
+                msg = parent.recv()
+            except EOFError:        # child died without 'done'
+                err_repr = "trial process exited unexpectedly"
+                break
+            if msg[0] == "report":
+                _, iteration, m = msg
+                if progress is not None:
+                    progress.update(trial_id, "RUNNING", iteration, m)
+                keep = True
+                if m.get("after_min_loss", 0) >= AFTER_MIN_LOSS_STOP:
+                    keep = False
+                if keep and scheduler is not None:
+                    keep = scheduler.on_report(trial_id, iteration, m)
+                parent.send(keep)
+            else:                   # ("done", metrics, err_repr)
+                _, metrics, err_repr = msg
+                break
+    finally:
+        # a scheduler/progress exception above would otherwise leave the
+        # child blocked on conn.recv() and this thread stuck in join()
+        if proc.is_alive() and err_repr is None and metrics is None:
+            proc.terminate()
+        proc.join()
+        parent.close()
     err = RuntimeError(err_repr) if err_repr is not None else None
     if err is not None and metrics is None:
         # make sure rerun_failed sees the failure even if the child
