@@ -202,3 +202,50 @@ def test_process_executor_matches_thread(tiny_genome, tiny_bed,
     lt = np.asarray([l for _, l in losses["thread"]])
     lp = np.asarray([l for _, l in losses["process"]])
     np.testing.assert_allclose(lt, lp, rtol=1e-5)
+
+
+def test_process_executor_no_deadlock_on_parent_error(tiny_genome,
+                                                      tiny_bed,
+                                                      tmp_path):
+    """A parent-side exception in the verdict loop (progress table or
+    scheduler raising) must terminate the child trial process instead
+    of leaving it blocked on conn.recv() with the launch thread stuck
+    in join() -- the finally-cleanup contract of
+    _run_trial_in_process."""
+    import threading
+
+    from mural_tpu.train.loop import TrainOptions
+    from mural_tpu.tune.runner import _run_trial_in_process
+
+    config = dict(
+        local_radius=2, local_order=1, local_dropout=0.0,
+        distal_fc_dropout=0.0, emb_dropout=0.0,
+        local_hidden1_size=8, local_hidden2_size=4,
+        distal_radius=60, segment_center=5000, sampled_segments=4,
+        batch_size=32, optim="Adam", learning_rate=1e-3,
+        lr_scheduler="StepLR", LR_gamma=0.9, weight_decay=0.0,
+        weight_decay_auto=None, restart_lr=1e-4, min_lr=1e-6,
+        CNN_kernel_size=3, CNN_out_channels=4, transfer_learning=False)
+    opts = TrainOptions(train_data=tiny_bed,
+                        ref_genome=tiny_genome["path"], n_class=4,
+                        model_no=2, epochs=3, valid_ratio=0.25,
+                        split_seed=1, trial_dir=str(tmp_path / "t"))
+
+    class Boom:
+        def update(self, *a, **k):
+            raise RuntimeError("progress table exploded")
+
+    result = {}
+
+    def run():
+        try:
+            _run_trial_in_process("Train_boom_00000", config, opts,
+                                  "snv", None, 0, 1, Boom())
+        except RuntimeError as e:
+            result["err"] = e
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout=420)
+    assert not th.is_alive(), "parent verdict loop deadlocked"
+    assert "exploded" in str(result.get("err"))

@@ -457,3 +457,65 @@ def test_resident_epoch_matches_host_steps_indel(tiny_genome, tiny_bed):
                            for i, n in enumerate(n_valids)])
     assert float(vloss_r) == pytest.approx(vloss_h, rel=1e-5)
     np.testing.assert_allclose(lg_r, logits_h, rtol=2e-5, atol=1e-6)
+
+
+def test_resident_auto_valid_budget_fallback(tiny_genome, rng,
+                                             tmp_path):
+    """Auto mode budgets 2x the train estimate while the validation
+    file is still preprocessing; once the real validation dataset is
+    known, a validation set that blows the budget must fall back to
+    host-fed batches instead of uploading (and risking a device OOM)."""
+    from conftest import make_bed
+
+    from mural_tpu.data.dataset import prepare_dataset
+    from mural_tpu.train.loop import TrainOptions, train_trial
+    from mural_tpu.train.resident import estimate_resident_bytes
+
+    train_bed = str(tmp_path / "train.sorted.bed")
+    valid_bed = str(tmp_path / "valid.sorted.bed")
+    make_bed(train_bed, tiny_genome["seqs"], rng, n_sites=80,
+             chroms=("chr1",))
+    make_bed(valid_bed, tiny_genome["seqs"], rng, n_sites=600,
+             chroms=("chr1",))
+
+    kw = dict(central_bp=5000, local_radius=3, local_order=2,
+              distal_radius=60, model_type="snv")
+    est_train = estimate_resident_bytes(
+        prepare_dataset(train_bed, tiny_genome["path"], **kw))
+    est_valid = estimate_resident_bytes(
+        prepare_dataset(valid_bed, tiny_genome["path"], **kw))
+    assert est_valid > est_train          # construction precondition
+    # passes the pre-join 2x-train gate, fails the real train+valid sum
+    budget = (2 * est_train + est_train + est_valid) // 2
+    assert 2 * est_train <= budget < est_train + est_valid
+
+    config = dict(
+        local_radius=3, local_order=2, local_dropout=0.1,
+        distal_fc_dropout=0.1, emb_dropout=0.1,
+        local_hidden1_size=24, local_hidden2_size=12,
+        distal_radius=60, segment_center=5000, sampled_segments=4,
+        batch_size=32, optim="Adam", learning_rate=5e-3,
+        lr_scheduler="StepLR", LR_gamma=0.9, weight_decay=0.0,
+        weight_decay_auto=None, restart_lr=1e-4, min_lr=1e-6,
+        CNN_kernel_size=3, CNN_out_channels=8,
+        transfer_learning=False,
+    )
+    logs = []
+    opts = TrainOptions(
+        train_data=train_bed, ref_genome=tiny_genome["path"],
+        validation_data=valid_bed, n_class=4, model_no=2, epochs=1,
+        grace_period=5, trial_dir=str(tmp_path / "trial"), rng_seed=0,
+        resident="auto", resident_max_bytes=int(budget))
+    import mural_tpu.train.loop as L
+    real_printer = L.get_printer
+    try:
+        L.get_printer = lambda *a, **k: (
+            lambda *args, **kw_: logs.append(" ".join(str(x)
+                                                      for x in args)))
+        metrics = train_trial(config, opts, "snv")
+    finally:
+        L.get_printer = real_printer
+    assert np.isfinite(metrics["loss"])
+    joined = "\n".join(logs)
+    assert "validation set exceeds the budget" in joined
+    assert "one dispatch per epoch" not in joined
