@@ -296,7 +296,35 @@ def _mini_pipeline():
     return out
 
 
+def _device_available(timeout_s: int = 240) -> bool:
+    """Probe device availability in a subprocess with a hard timeout.
+
+    The TPU transport can go fully down (jax.devices() then blocks
+    forever, observed 2026-08-17); a bench that hangs produces no
+    artifact at all, while a fast explanatory failure line is still a
+    record.  The probe subprocess inherits the environment and exits,
+    so it does not contend with this process afterwards."""
+    import subprocess
+    import sys
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True)
+        return True
+    except Exception:
+        return False
+
+
 def main():
+    if not _device_available():
+        print(json.dumps({
+            "metric": "snv_train_windows_per_sec_per_chip",
+            "value": None, "unit": "windows/s", "vs_baseline": None,
+            "error": "device backend unavailable (jax.devices() probe "
+                     "timed out -- TPU transport down; see "
+                     "docs/design.md section 6)"}))
+        return
+
     import jax
     import jax.numpy as jnp
 
