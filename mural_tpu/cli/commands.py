@@ -435,7 +435,8 @@ def add_evaluate_parser(subparsers, model_type: str):
                    help="Reference genome FASTA (k-mer/motif mode).")
     k.add_argument("--kmer_length", type=int,
                    default=3 if model_type == "snv" else 2,
-                   help="k-mer length (odd).")
+                   help="k-mer length (odd for SNV, even for INDEL "
+                        "whose windows span the gap).")
     k.add_argument("--motif_length", type=int,
                    default=3 if model_type == "snv" else 6,
                    help=argparse.SUPPRESS)

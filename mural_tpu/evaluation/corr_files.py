@@ -66,7 +66,7 @@ def _gather_kmers(genome: Genome, df, left: int, right: int, width: int,
     chroms = df["chrom"].to_numpy()
     starts = df["start"].to_numpy().astype(np.int64)
     stops = df["end"].to_numpy().astype(np.int64)
-    s0, _ = _extend_interval(starts, stops, left, right, model_type)
+    s0, e0 = _extend_interval(starts, stops, left, right, model_type)
     for c in np.unique(chroms):
         m = chroms == c
         if c not in genome:
@@ -75,7 +75,11 @@ def _gather_kmers(genome: Genome, df, left: int, right: int, width: int,
         out[m] = enc.gather_windows(codes, s0[m], width,
                                     np.zeros(m.sum(), bool))
         inside[m] = (s0[m] >= 0) & (s0[m] + width <= len(codes))
-    valid = inside & (out < 4).all(axis=1)
+    # rows whose own window length differs from the k-mer width (e.g.
+    # multi-base INDEL gap rows, end - start > 1) are skipped like the
+    # reference's len(seq) != kmer_length check (calc_kmer_corr.py:
+    # 235-241) rather than scored with a start-anchored wrong window
+    valid = inside & (e0 - s0 == width) & (out < 4).all(axis=1)
     return out, valid
 
 
@@ -157,7 +161,13 @@ def run_kmer_corr(pred_file: str, ref_genome: str, out_prefix: str,
 
     ``strand_override``: INDEL mode replaces per-row strand with the CLI
     --strand value ('+', '-' or 'both'; ref :223-224)."""
-    if kmer_length <= 1 or kmer_length % 2 != 1:
+    if model_type == "indel":
+        # INDEL windows span the gap: width = 2*(k//2) needs EVEN k
+        # (reference defaults 2/4/6, MuRaL/commands/evaluate.py:146)
+        if kmer_length <= 0 or kmer_length % 2 != 0:
+            raise ValueError("--kmer_length must be a positive even "
+                             "integer for INDEL evaluation")
+    elif kmer_length <= 1 or kmer_length % 2 != 1:
         raise ValueError("--kmer_length must be a positive odd integer >1")
     genome = genome or Genome.from_fasta(ref_genome)
     radius = kmer_length // 2
@@ -257,7 +267,12 @@ def run_motif_corr(pred_file: str, ref_genome: str, out_prefix: str,
     to merge_reverse=True and merges into whichever orientation it saw
     first, :48-69; we use the lexicographically smaller key -- the
     partition, and therefore the correlations, are identical)."""
-    if motif_length <= 1 or motif_length % 2 != 1:
+    if model_type == "indel":
+        # gap-spanning placements (left + right == motif_length) work
+        # for any length >= 2; the reference default is 6
+        if motif_length < 2:
+            raise ValueError("--motif_length must be an integer >=2")
+    elif motif_length <= 1 or motif_length % 2 != 1:
         raise ValueError("--motif_length must be a positive odd integer >1")
     genome = genome or Genome.from_fasta(ref_genome)
 

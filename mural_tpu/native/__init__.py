@@ -126,8 +126,11 @@ def track_mean(block_prefix: np.ndarray, inblock: np.ndarray,
 def format_pred_tsv(chrom: str, pos: np.ndarray, neg: np.ndarray,
                     probs: np.ndarray) -> bytes:
     """Format prediction rows as TSV bytes (chrom start end strand
-    prob0..N, probabilities %.4g — the reference's to_csv float_format).
-    Native C++ when available, numpy fallback otherwise."""
+    mut_type prob0..N, probabilities %.4g — the reference's to_csv
+    float_format).  mut_type is the constant 0: genome-wide sites carry
+    no observation, and the documented schema requires the column so
+    `evaluate` accepts the output.  Native C++ when available, numpy
+    fallback otherwise."""
     pos = np.ascontiguousarray(pos, dtype=np.int64)
     neg = np.ascontiguousarray(neg, dtype=np.uint8)
     probs = np.ascontiguousarray(probs, dtype=np.float64)
@@ -135,7 +138,7 @@ def format_pred_tsv(chrom: str, pos: np.ndarray, neg: np.ndarray,
     lib = get_lib()
     if lib is not None and n:
         cb = chrom.encode()
-        cap = n * (len(cb) + 2 * 21 + 2 + n_class * 14 + 8)
+        cap = n * (len(cb) + 2 * 21 + 2 + 2 + n_class * 14 + 8)
         buf = ctypes.create_string_buffer(cap)
         written = lib.mural_format_pred_tsv(cb, len(cb), pos, neg, probs,
                                             n, n_class, buf, cap)
@@ -143,7 +146,8 @@ def format_pred_tsv(chrom: str, pos: np.ndarray, neg: np.ndarray,
             return buf.raw[:written]
     # numpy fallback: vectorized %-formatting per column
     cols = [np.full(n, chrom), pos.astype(str),
-            (pos + 1).astype(str), np.where(neg, "-", "+")]
+            (pos + 1).astype(str), np.where(neg, "-", "+"),
+            np.full(n, "0")]
     cols += [np.char.mod("%.4g", probs[:, j]) for j in range(n_class)]
     rows = cols[0]
     for c in cols[1:]:

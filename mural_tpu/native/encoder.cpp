@@ -150,8 +150,9 @@ int64_t mural_format_pred_tsv(const char* chrom, int64_t chrom_len,
                               const int64_t* pos, const uint8_t* neg,
                               const double* probs, int64_t n,
                               int64_t n_class, char* out, int64_t cap) {
-    // worst case per row: chrom + 2*20-digit ints + strand + floats
-    const int64_t worst = chrom_len + 2 * 21 + 2 + n_class * 14 + 8;
+    // worst case per row: chrom + 2*20-digit ints + strand + mut_type
+    // + floats
+    const int64_t worst = chrom_len + 2 * 21 + 2 + 2 + n_class * 14 + 8;
     char* p = out;
     for (int64_t i = 0; i < n; ++i) {
         if ((p - out) + worst > cap) return -1;
@@ -168,6 +169,11 @@ int64_t mural_format_pred_tsv(const char* chrom, int64_t chrom_len,
             *p++ = '\t';
         }
         *p++ = neg[i] ? '-' : '+';
+        // constant mut_type 0: genome-wide sites carry no observation,
+        // and the documented prediction schema (chrom start end strand
+        // mut_type prob0..N) requires the column for `evaluate`
+        *p++ = '\t';
+        *p++ = '0';
         for (int64_t j = 0; j < n_class; ++j) {
             *p++ = '\t';
             p += snprintf(p, 16, "%.4g", probs[i * n_class + j]);

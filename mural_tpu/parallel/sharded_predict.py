@@ -59,7 +59,12 @@ def sharded_predict(model, params, batch_stats, ds, batch_size: int,
         n_valids.append(db.n_valid)
         loss_dev = loss_dev + loss
     total_loss = float(loss_dev)
-    logits = (np.concatenate(
-        [np.asarray(lg)[:n] for lg, n in zip(parts, n_valids)])
-        if parts else np.zeros((0, 0)))
+    if parts:
+        logits = np.concatenate(
+            [np.asarray(lg)[:n] for lg, n in zip(parts, n_valids)])
+    else:
+        # keep the (0, n_class) shape the single-device branch returns
+        # (pipeline.py builds a DataFrame with n_class prob columns)
+        n_class = getattr(model, "n_class", 0)
+        logits = np.zeros((0, n_class))
     return logits, total_loss

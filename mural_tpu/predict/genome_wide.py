@@ -320,7 +320,8 @@ def run_genome_predict(opts: GenomePredictOptions,
     # over n_workers processes with ordered writes
     from mural_tpu.predict.post_farm import PostprocessFarm
     farm = PostprocessFarm(
-        opts.pred_file, ["chrom", "start", "end", "strand"] + prob_names,
+        opts.pred_file,
+        ["chrom", "start", "end", "strand", "mut_type"] + prob_names,
         calibrator=calibr,
         poisson=(opts.poisson_calib or model_type == "indel"),
         n_workers=opts.n_workers)

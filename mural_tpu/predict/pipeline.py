@@ -231,7 +231,18 @@ def run_predict(opts: PredictOptions, model_type: str = "snv",
                     "k-mer lengths", opts.kmer_corr,
                     ". No k-mer correlation was calculated.")
         else:
+            from mural_tpu.evaluation.evaluator import _kmer_columns
             for k in opts.kmer_corr:
+                missing = [c for c in _kmer_columns(k)
+                           if c not in data_and_prob.columns]
+                if missing:
+                    # same guard as Evaluator.evaluate_kmer: a k larger
+                    # than the checkpoint's local window must warn, not
+                    # KeyError after the full (hours-long) inference
+                    printer(f"Warning: skipping {k}-mer correlation "
+                            f"(checkpoint local_radius too small; "
+                            f"missing columns {missing})")
+                    continue
                 corr = freq_kmer_comp_multi(data_and_prob, k, n_class)
                 printer(f"{k}mer correlation: ", corr)
                 # machine-readable copy for callers (bench.py reads it;

@@ -150,17 +150,42 @@ class PostprocessFarm:
             self._fh.write(blob)
             self.total += n
         else:
-            self._task_q.put((self._seq, chrom,
-                              np.ascontiguousarray(pos),
-                              np.ascontiguousarray(neg),
-                              np.asarray(logits)))
+            import queue as _queue
+            item = (self._seq, chrom, np.ascontiguousarray(pos),
+                    np.ascontiguousarray(neg), np.asarray(logits))
+            while True:
+                try:
+                    self._task_q.put(item, timeout=5.0)
+                    break
+                except _queue.Full:
+                    # a worker killed by the OS (OOM, segfault) never
+                    # drains the bounded queue -- fail instead of
+                    # blocking a multi-hour run forever
+                    if not all(p.is_alive() for p in self._procs):
+                        raise RuntimeError(
+                            "postprocess worker process died; see any "
+                            "earlier error, or check host memory")
         self._seq += 1
 
     def close(self) -> int:
         if self.n_workers > 0:
             with self._lock:
-                self._lock.wait_for(lambda: self._done >= self._seq
-                                    or self._error is not None)
+                # bounded waits + liveness checks: a worker that dies
+                # without posting its result would otherwise leave
+                # _done < _seq forever (deadlocked close at the end of
+                # a multi-hour genome-wide run)
+                while not (self._done >= self._seq
+                           or self._error is not None):
+                    self._lock.wait(timeout=5.0)
+                    if (self._done < self._seq and self._error is None
+                            and not all(p.is_alive()
+                                        for p in self._procs)):
+                        # grace period: peers' queued results drain via
+                        # the writer thread before we give up
+                        self._lock.wait(timeout=5.0)
+                        if self._done < self._seq:
+                            self._error = ("worker process died without "
+                                           "posting a result")
             for _ in self._procs:
                 self._task_q.put(None)
             self._result_q.put(None)

@@ -108,6 +108,14 @@ def calc_mu_scaling_factor(pred_files: List[str], genomewide_mu: float,
             score = score[m]
         prob_sum = float(np.sum(score))
         n_sites = len(score)
+        if prob_sum == 0.0:
+            raise ValueError(
+                f"no prediction mass selected from {pred_file} "
+                f"({n_sites} sites matched"
+                + (f" benchmark regions {benchmark_regions} -- check "
+                   f"that chromosome naming matches the prediction "
+                   f"file (e.g. 'chr1' vs '1')" if regions is not None
+                   else "") + ")")
         scale_factor = (genomewide_mu * n_sites * m_proportions[i]
                         / g_proportions[i]) / prob_sum
         printer(f"\nType {i + 1}:\npred_file: {pred_file}")

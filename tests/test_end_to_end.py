@@ -71,8 +71,14 @@ def test_predict_roundtrip(trained_trial, tiny_genome, tiny_bed, tmp_path):
         model_config_path=os.path.join(cdir, "model.config.pkl"),
         calibrator_path=os.path.join(cdir, "model.fdiri_cal.pkl"),
         pred_file=pred_file, pred_batch_size=64,
-        kmer_corr=[3], region_corr=[10000])
-    df = run_predict(opts, "snv", printer=lambda *a: None)
+        kmer_corr=[3, 99], region_corr=[10000])
+    msgs = []
+    df = run_predict(opts, "snv",
+                     printer=lambda *a: msgs.append(" ".join(map(str, a))))
+    # a k wider than the checkpoint's local window warns and skips
+    # instead of raising KeyError after the full inference
+    assert any("skipping 99-mer" in m for m in msgs)
+    assert any("3mer correlation" in m for m in msgs)
     # schema parity (run_predict.py:236)
     assert list(df.columns) == ["chrom", "start", "end", "strand",
                                 "mut_type", "prob0", "prob1", "prob2",

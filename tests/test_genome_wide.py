@@ -47,7 +47,9 @@ def test_run_genome_predict_end_to_end(trained_checkpoint, tiny_genome,
     df = pd.read_csv(out, sep="\t")
     assert len(df) == expect
     assert list(df.columns) == ["chrom", "start", "end", "strand",
+                                "mut_type",
                                 "prob0", "prob1", "prob2", "prob3"]
+    assert (df["mut_type"] == 0).all()
     probs = df[[f"prob{i}" for i in range(4)]].to_numpy()
     assert np.all(probs > -1) and np.isfinite(probs).all()
     assert np.allclose(probs.sum(axis=1), 1.0, atol=5e-3)

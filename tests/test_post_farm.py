@@ -28,16 +28,18 @@ def test_format_pred_tsv_native_matches_fallback(rng):
     assert first[0] == "chrX"
     assert int(first[2]) == int(first[1]) + 1
     assert first[3] in "+-"
+    assert first[4] == "0"        # constant mut_type (schema parity)
     # numeric %.4g parity with python's %-formatting
     for j in range(4):
-        assert first[4 + j] == "%.4g" % probs[0, j]
+        assert first[5 + j] == "%.4g" % probs[0, j]
     # pure-numpy fallback produces identical bytes
     from mural_tpu.genome import encode  # noqa: F401 (import side effects)
     import mural_tpu.native as nat
     if nat.available():
         n_, k_ = probs.shape
         cols = [np.full(n_, "chrX"), pos.astype(str),
-                (pos + 1).astype(str), np.where(neg, "-", "+")]
+                (pos + 1).astype(str), np.where(neg, "-", "+"),
+                np.full(n_, "0")]
         cols += [np.char.mod("%.4g", probs[:, j]) for j in range(k_)]
         rows = cols[0]
         for c in cols[1:]:
@@ -50,6 +52,7 @@ def test_farm_inline_roundtrip(tmp_path, rng, gz):
     from mural_tpu.predict.post_farm import PostprocessFarm
     out = str(tmp_path / ("o.tsv.gz" if gz else "o.tsv"))
     farm = PostprocessFarm(out, ["chrom", "start", "end", "strand",
+                                 "mut_type",
                                  "prob0", "prob1", "prob2", "prob3"])
     chunks = [_chunk(rng), _chunk(rng, chrom="chr2"), _chunk(rng, n=17)]
     for c in chunks:
@@ -70,7 +73,7 @@ def test_farm_workers_byte_identical(tmp_path, rng):
     from mural_tpu.predict.post_farm import PostprocessFarm
     chunks = [_chunk(rng, n=64 + i, chrom=f"chr{1 + i % 3}")
               for i in range(12)]
-    cols = ["chrom", "start", "end", "strand",
+    cols = ["chrom", "start", "end", "strand", "mut_type",
             "prob0", "prob1", "prob2", "prob3"]
 
     inline = str(tmp_path / "inline.tsv.gz")
@@ -135,3 +138,21 @@ def test_farm_calibrated_matches_direct(tmp_path, rng):
     with open(out, "rb") as fh:
         fh.readline()  # header
         assert fh.read() == expect
+
+
+def test_farm_dead_worker_raises_instead_of_hanging(tmp_path, rng):
+    """A worker killed by the OS (OOM/segfault) must surface as an
+    error from close() within bounded time, not a forever-blocked
+    wait_for (the submit path has the same liveness guard)."""
+    from mural_tpu.predict.post_farm import PostprocessFarm
+
+    farm = PostprocessFarm(str(tmp_path / "d.tsv.gz"),
+                           ["chrom", "start", "end", "strand",
+                            "mut_type", "prob0", "prob1", "prob2",
+                            "prob3"], n_workers=1)
+    farm._procs[0].terminate()
+    farm._procs[0].join()
+    chrom, pos, neg, logits = _chunk(rng, n=8)
+    farm.submit(chrom, pos, neg, logits)   # queued, never processed
+    with pytest.raises(RuntimeError, match="died|failed"):
+        farm.close()

@@ -185,3 +185,83 @@ def test_prefetch_stacked_error_propagates():
 
     with pytest.raises(RuntimeError, match="producer exploded"):
         list(prefetch_stacked(gen(), k=4, size=2))
+
+
+def test_kmer_corr_k_parity_validation(tiny_genome):
+    """INDEL windows span the gap (width = 2*(k//2)) so k must be EVEN;
+    SNV keeps the odd-k rule (reference defaults 2/4/6 vs 3/5/7,
+    MuRaL/commands/evaluate.py:146,260).  Validation fires before the
+    prediction file is opened."""
+    from mural_tpu.evaluation import corr_files
+    with pytest.raises(ValueError, match="even"):
+        corr_files.run_kmer_corr("/nonexistent", tiny_genome["path"],
+                                 "p", 3, 8, model_type="indel")
+    with pytest.raises(ValueError, match="odd"):
+        corr_files.run_kmer_corr("/nonexistent", tiny_genome["path"],
+                                 "p", 4, 4, model_type="snv")
+    with pytest.raises(ValueError, match=">=2"):
+        corr_files.run_motif_corr("/nonexistent", tiny_genome["path"],
+                                  "p", 1, 8, model_type="indel")
+
+
+def test_kmer_corr_indel_skips_multibase_gap_rows(tiny_genome, tmp_path,
+                                                  rng):
+    """Rows whose gap is wider than 1bp (end - start > 1) have a window
+    length != kmer_length and must be skipped like the reference's
+    len(seq) != kmer_length check (calc_kmer_corr.py:235-241), not
+    scored with a start-anchored wrong-width window."""
+    from mural_tpu.evaluation import corr_files
+    from mural_tpu.genome.fasta import Genome
+
+    genome = Genome.from_fasta(tiny_genome["path"])
+    codes = np.asarray(genome["chr1"])
+    n_class = 8
+    starts = np.arange(1_000, 4_000, 7, dtype=np.int64)
+    n_single, n_multi = 300, 60
+    start = np.concatenate([starts[:n_single],
+                            starts[n_single:n_single + n_multi]])
+    end = np.concatenate([start[:n_single] + 1,
+                          start[n_single:] + 2])   # 2bp gap rows
+    df = pd.DataFrame({"chrom": "chr1", "start": start, "end": end,
+                       "strand": "+",
+                       "mut_type": rng.integers(0, n_class, len(start))})
+    probs = rng.dirichlet(np.ones(n_class), len(start))
+    for i in range(n_class):
+        df[f"prob{i}"] = probs[:, i]
+    pred = tmp_path / "indel_pred.tsv"
+    df.to_csv(pred, sep="\t", index=False)
+
+    corr_files.run_kmer_corr(str(pred), tiny_genome["path"],
+                             str(tmp_path / "out"), 2, n_class,
+                             model_type="indel",
+                             printer=lambda *a: None)
+    rates = pd.read_csv(tmp_path / "out.2-mer.mut_rates.tsv", sep="\t")
+    # expected: single-base rows whose gap-spanning 2-mer
+    # codes[start:start+2] is ACGT-only; no multi-base row contributes
+    s0 = start[:n_single]          # indel: s0 = start - 1 + 1
+    windows = np.stack([codes[s:s + 2] for s in s0])
+    expected = int((windows < 4).all(axis=1).sum())
+    assert rates["number_of_all"].sum() == expected
+
+
+def test_scaling_zero_mass_raises(tmp_path, rng):
+    """A benchmark-regions file whose chromosome naming does not match
+    the predictions selects zero sites; the old code divided by zero and
+    printed inf factors."""
+    from mural_tpu.predict.scaling import calc_mu_scaling_factor
+    n = 50
+    df = pd.DataFrame({"chrom": "chr1",
+                       "start": np.arange(n, dtype=np.int64),
+                       "end": np.arange(n, dtype=np.int64) + 1,
+                       "strand": "+", "mut_type": 0})
+    probs = rng.dirichlet(np.ones(4), n)
+    for i in range(4):
+        df[f"prob{i}"] = probs[:, i]
+    pred = tmp_path / "p.tsv"
+    df.to_csv(pred, sep="\t", index=False)
+    bench = tmp_path / "bench.bed"
+    bench.write_text("1\t0\t100\n")    # '1' vs 'chr1'
+    with pytest.raises(ValueError, match="chromosome naming"):
+        calc_mu_scaling_factor([str(pred)], 1e-8, [1.0], 4,
+                               benchmark_regions=str(bench),
+                               printer=lambda *a: None)
