@@ -296,6 +296,100 @@ def _mini_pipeline():
     return out
 
 
+def _ensemble_search_rates(n_genome=2_000_000, n_sites=100_000, B=128,
+                           T=8, n_steps=100):
+    """Aggregate hyperparameter-search throughput: T trials vmapped
+    into one program (--trial_ensemble auto, train/ensemble.py) vs the
+    same trials run serially, at the reference's default search batch
+    (B=128, where a lone trial's scan step is latency-bound and the
+    chip idles).  Reported as aggregate trial-windows/s and the
+    speedup over serial -- the TPU-native replacement for the
+    reference's ~6-trials-per-GPU Ray packing
+    (run_train_raytune.py:306)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mural_tpu.data.dataset import prepare_dataset
+    from mural_tpu.models.registry import build_model
+    from mural_tpu.train.ensemble import (create_ensemble_state,
+                                          make_ensemble_epoch_fn)
+    from mural_tpu.train.loop import _init_variables
+    from mural_tpu.train.optim import LRSchedule
+    from mural_tpu.train.packed import pack_state
+    from mural_tpu.train.resident import (make_resident,
+                                          make_resident_epoch_fn,
+                                          stack_epoch_rows)
+    from mural_tpu.train.state import create_train_state
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as td:
+        fa, bed, _ = _write_synthetic(td, n_genome, n_sites, rng)
+        ds = prepare_dataset(bed, fa, central_bp=300_000,
+                             local_radius=7, local_order=3,
+                             distal_radius=200, model_type="snv")
+    config = dict(CNN_out_channels=32, CNN_kernel_size=3,
+                  local_radius=7, local_order=3,
+                  local_hidden1_size=150, local_hidden2_size=75,
+                  emb_dropout=0.1, local_dropout=0.1,
+                  distal_fc_dropout=0.25)
+    common = dict(emb_dims=[(x, min(16, int(x ** 0.25)))
+                            for x in ds.cat_dims],
+                  n_cont=0, n_class=4, distal_order=1, in_channels=4)
+    model = build_model(2, config, common, "snv")
+    seeds = list(range(T))
+    lrs = [1e-3 * (1.5 ** t) for t in range(T)]   # sampled-like spread
+    schedules = [LRSchedule.build("StepLR", lrs[t], 0.9, B, n_sites,
+                                  1e-4, 1e-6) for t in range(T)]
+    variables_list = [_init_variables(model, ds, s) for s in seeds]
+    res = make_resident(ds)
+    rows = np.stack([stack_epoch_rows(ds, 10, B, shuffle=True,
+                                      rng=np.random.default_rng(t))[0]
+                     [:n_steps] for t in range(T)])
+    rows_dev = jnp.asarray(rows)
+    base_rngs = [jax.random.key(s) for s in seeds]
+
+    # --- serial single trial (member 0's config) ------------------------
+    st0 = pack_state(create_train_state(
+        model, variables_list[0], "Adam", 0.0, schedules[0]))
+    serial_fn = make_resident_epoch_fn(model, st0, ds.distal_width)
+
+    sbox = [st0]
+
+    def serial_block(n):
+        for _ in range(n):
+            sbox[0], loss, _ = serial_fn(
+                sbox[0], res.arena, res.y, res.cat, res.cont,
+                res.astart, res.neg, rows_dev[0], base_rngs[0])
+        loss.block_until_ready()
+
+    serial_block(1)      # compile + warmup
+    dt_serial = _median_blocks(serial_block, n_blocks=3,
+                               iters_per_block=2)
+    serial_rate = n_steps * B / dt_serial
+
+    # --- T-member vmapped ensemble ---------------------------------------
+    ens = create_ensemble_state(variables_list, "Adam", [0.0] * T,
+                                schedules, seeds)
+    ens_fn = make_ensemble_epoch_fn(model, ens, ds.distal_width)
+    ebox = [ens]
+
+    def ens_block(n):
+        for _ in range(n):
+            ebox[0], losses = ens_fn(
+                ebox[0], res.arena, res.y, res.cat, res.cont,
+                res.astart, res.neg, rows_dev)
+        losses.block_until_ready()
+
+    ens_block(1)
+    dt_ens = _median_blocks(ens_block, n_blocks=3, iters_per_block=2)
+    agg_rate = T * n_steps * B / dt_ens
+    return {"serial": serial_rate, "aggregate": agg_rate,
+            "speedup": agg_rate / serial_rate}
+
+
 def _device_available(timeout_s: int = 240) -> bool:
     """Probe device availability in a subprocess with a hard timeout.
 
@@ -452,6 +546,12 @@ def main():
         pipe = {"kmer_corr_3mer": None,
                 "genome_predict_sites_per_sec": None}
 
+    # --- vmapped trial-ensemble search throughput -----------------------
+    try:
+        ensb = _ensemble_search_rates()
+    except Exception:
+        ensb = {"serial": None, "aggregate": None, "speedup": None}
+
     def _r(x, nd=1):
         return round(x, nd) if x is not None else None
 
@@ -480,6 +580,10 @@ def main():
         "genome_predict_sites_per_sec": _r(
             pipe.get("genome_predict_sites_per_sec")),
         "kmer_corr_3mer": _r(pipe.get("kmer_corr_3mer"), 4),
+        "ensemble8_b128_aggregate_windows_per_sec": _r(
+            ensb.get("aggregate")),
+        "ensemble8_b128_serial_windows_per_sec": _r(ensb.get("serial")),
+        "ensemble8_b128_speedup": _r(ensb.get("speedup"), 2),
     }))
 
 

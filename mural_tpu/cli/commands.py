@@ -132,6 +132,15 @@ def _scheduler_args(p, default_experiment):
                         "process) or 'process' (spawned per trial; "
                         "avoids GIL contention from evaluation tails "
                         "on many-core hosts). Default: thread.")
+    g.add_argument("--trial_ensemble", type=str, metavar="MODE",
+                   default="off", choices=["off", "auto"],
+                   help="'auto' vmaps same-architecture trials into ONE "
+                        "device program (shared dataset encode + device "
+                        "arena; per-trial learning rate/weight "
+                        "decay/seed as traced arrays). Multiplies "
+                        "aggregate search throughput at small batch "
+                        "sizes; trials needing different programs run "
+                        "normally. Default: off.")
     g.add_argument("--dp_devices", type=int, metavar="INT", default=1,
                    help="Data-parallel training over this many TPU "
                         "devices (batch sharded, grads all-reduced). "

@@ -179,6 +179,7 @@ def cmd_train(args, model_type: str) -> int:
         n_parallel=args.n_parallel,
         rerun_failed=args.rerun_failed,
         trial_executor=getattr(args, "trial_executor", "thread"),
+        ensemble=getattr(args, "trial_ensemble", "off"),
     )
     run_experiment(space, opts, model_type, exp)
     return 0

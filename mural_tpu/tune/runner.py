@@ -56,6 +56,11 @@ class ExperimentOptions:
                                       # spawned processes (no GIL
                                       # contention from pandas eval
                                       # tails on many-core hosts)
+    ensemble: str = "off"             # 'off' | 'auto': vmap same-shape
+                                      # trials into ONE program per
+                                      # device (tune/ensemble.py) -- the
+                                      # TPU answer to Ray's fractional-
+                                      # GPU packing
 
 
 class ProgressTable:
@@ -318,6 +323,52 @@ def run_experiment(space: Dict, base_opts: TrainOptions, model_type: str,
     results = []
     lock = threading.Lock()
     launch_counter = [0]
+
+    # --- vmapped trial ensembles (tune/ensemble.py) --------------------
+    # same-program-shape groups train as ONE vmapped dispatch; groups
+    # that can't (host-path data, over budget, transfer, singletons)
+    # fall through to the per-trial executors below
+    if exp.ensemble == "auto" and len(trials) >= 2:
+        from mural_tpu.tune.ensemble import (ensemble_eligible,
+                                             group_trials,
+                                             run_ensemble_group)
+        remaining = []
+        for g in group_trials(trials):
+            if len(g) < 2 or not ensemble_eligible(g[0][1], base_opts):
+                remaining.extend(g)
+                continue
+            if progress is not None:
+                for tid, _ in g:
+                    progress.update(tid, "RUNNING")
+            try:
+                out = run_ensemble_group(g, base_opts, model_type, exp,
+                                         scheduler, progress, printer)
+            except Exception as err:     # group-wide failure
+                import traceback
+                tb = traceback.format_exc()
+                out = []
+                for tid, _ in g:
+                    tdir = os.path.join(exp_dir, tid)
+                    os.makedirs(tdir, exist_ok=True)
+                    with open(os.path.join(tdir, "error.txt"),
+                              "w") as fh:
+                        fh.write(tb)
+                    out.append((tid, None, err))
+            if out is None:              # fallback requested
+                remaining.extend(g)
+                continue
+            for r in out:
+                results.append(r)
+                if r[2] is not None:
+                    if progress is not None:
+                        progress.update(r[0], "ERROR")
+                    printer(f"Trial {r[0]} FAILED: {r[2]}")
+                else:
+                    if progress is not None:
+                        progress.update(r[0], "TERMINATED")
+                    printer(f"Trial {r[0]} finished: loss="
+                            f"{r[1].get('loss'):.6g}")
+        trials = remaining
 
     def launch(idx_trial):
         trial_id, config = idx_trial
