@@ -333,15 +333,16 @@ def run_experiment(space: Dict, base_opts: TrainOptions, model_type: str,
                                              group_trials,
                                              run_ensemble_group)
         remaining = []
-        for g in group_trials(trials):
-            if len(g) < 2 or not ensemble_eligible(g[0][1], base_opts):
-                remaining.extend(g)
-                continue
+        rem_lock = threading.Lock()
+
+        def run_group(g, device):
+            opts_g = (dataclasses.replace(base_opts, device=device)
+                      if device is not None else base_opts)
             if progress is not None:
                 for tid, _ in g:
                     progress.update(tid, "RUNNING")
             try:
-                out = run_ensemble_group(g, base_opts, model_type, exp,
+                out = run_ensemble_group(g, opts_g, model_type, exp,
                                          scheduler, progress, printer)
             except Exception as err:     # group-wide failure
                 import traceback
@@ -355,10 +356,12 @@ def run_experiment(space: Dict, base_opts: TrainOptions, model_type: str,
                         fh.write(tb)
                     out.append((tid, None, err))
             if out is None:              # fallback requested
-                remaining.extend(g)
-                continue
+                with rem_lock:
+                    remaining.extend(g)
+                return
             for r in out:
-                results.append(r)
+                with rem_lock:
+                    results.append(r)
                 if r[2] is not None:
                     if progress is not None:
                         progress.update(r[0], "ERROR")
@@ -368,7 +371,31 @@ def run_experiment(space: Dict, base_opts: TrainOptions, model_type: str,
                         progress.update(r[0], "TERMINATED")
                     printer(f"Trial {r[0]} finished: loss="
                             f"{r[1].get('loss'):.6g}")
-        trials = remaining
+
+        groups, singles = [], []
+        for g in group_trials(trials):
+            if len(g) >= 2 and ensemble_eligible(g[0][1], base_opts):
+                groups.append(g)
+            else:
+                singles.extend(g)
+        if n_parallel > 1 and len(groups) > 1:
+            # one group per device, the trial-packing layout a v5e-8
+            # wants: n_parallel groups x T members train concurrently
+            gsem = threading.Semaphore(n_parallel)
+            gthreads = []
+            for i, g in enumerate(groups):
+                def guarded_group(g=g, dev=devices[i % n_parallel]):
+                    with gsem:
+                        run_group(g, dev)
+                th = threading.Thread(target=guarded_group)
+                th.start()
+                gthreads.append(th)
+            for th in gthreads:
+                th.join()
+        else:
+            for g in groups:
+                run_group(g, None)
+        trials = remaining + singles
 
     def launch(idx_trial):
         trial_id, config = idx_trial

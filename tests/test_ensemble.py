@@ -388,3 +388,34 @@ def test_run_experiment_ensemble_indel(tiny_genome, tiny_bed, tmp_path):
     for path, loss in best:
         assert os.path.exists(path)
         assert np.isfinite(loss)
+
+
+def test_ensemble_groups_across_devices(tiny_genome, tiny_bed,
+                                        tmp_path):
+    """Two program-shape groups (different batch sizes) dispatched
+    concurrently to two virtual devices (--n_parallel 2): all four
+    trials finish with checkpoints, groups keyed by batch size."""
+    from mural_tpu.train.loop import TrainOptions
+    from mural_tpu.tune.runner import ExperimentOptions, run_experiment
+
+    space = dict(
+        local_radius=3, local_order=2, local_dropout=0.0,
+        distal_fc_dropout=0.0, emb_dropout=0.0,
+        local_hidden1_size=16, local_hidden2_size=4,
+        distal_radius=60, segment_center=5000, sampled_segments=4,
+        batch_size=Choice([32, 48]), optim="Adam",
+        learning_rate=LogUniform(1e-3, 1e-2), lr_scheduler="StepLR",
+        LR_gamma=0.9, weight_decay=0.0, weight_decay_auto=None,
+        restart_lr=1e-4, min_lr=1e-6, CNN_kernel_size=3,
+        CNN_out_channels=4, transfer_learning=False)
+    opts = TrainOptions(train_data=tiny_bed,
+                        ref_genome=tiny_genome["path"], n_class=4,
+                        model_no=2, valid_ratio=0.25, split_seed=1)
+    exp = ExperimentOptions(
+        experiment_name="ens_multi", results_dir=str(tmp_path),
+        n_trials=4, epochs=1, grace_period=2, use_scheduler=True,
+        seed=6, n_parallel=2, ensemble="auto")   # seed 6 -> 2+2 split
+    best = run_experiment(space, opts, "snv", exp,
+                          printer=lambda *a: None)
+    assert len(best) == 4
+    assert all(os.path.exists(p) for p, _ in best)
