@@ -150,3 +150,51 @@ def test_calibrate_prob_end_to_end_and_pickle(tmp_path):
     with open(p, "rb") as fh:
         cal2 = pickle.load(fh)
     assert np.allclose(cal2.predict_proba(probs), cal.predict_proba(probs))
+
+
+def test_newton_direction_solves_fd_hessian_system():
+    """The block-assembled Hessian (multinomial._newton_dir) must give
+    the same Newton direction as the true Hessian of the objective:
+    H @ updates == gradient, with H from central differences of
+    jax.grad.  Guards the chain-rule assembly (row-separable data term
+    + regulariser + linear parameterisation) against regression without
+    paying a jax.hessian compile.  Holds exactly even where the
+    parameterisation is rank-deficient (g is in range(L^T) = range(H))."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+    from mural_tpu.calibrate import multinomial as M
+
+    rng = np.random.default_rng(11)
+    k, n = 3, 150
+    P = rng.dirichlet(np.ones(k) * 0.4, size=n)
+    eps = np.finfo(np.float64).eps
+    P = np.clip(P, eps, 1 - eps)
+    X = jnp.asarray(np.hstack([np.log(P), np.ones((n, 1))]))
+    T = jnp.asarray(np.eye(k)[rng.integers(0, k, n)], jnp.float64)
+
+    with jax.enable_x64(True), jax.default_device(jax.devices("cpu")[0]):
+        for method, ref_row in [("Full", True), ("Full", False),
+                                ("Diag", False), ("FixDiag", False)]:
+            w0 = jnp.asarray(M._identity_init(k, method), jnp.float64)
+            w0 = w0 + 0.05 * jnp.asarray(rng.standard_normal(w0.shape))
+            statics = dict(k=k, method=method, ref_row=ref_row,
+                           reg_format=None, reg_mu_none=True)
+            rl, rm = jnp.float64(1e-3), jnp.float64(0.0)
+            g, u, cand, Ls = M._newton_dir(w0, X, T, rl, rm, **statics)
+            assert bool(jnp.all(jnp.isfinite(u))), (method, ref_row)
+
+            obj = partial(M._objective, k=k, method=method,
+                          reg_lambda=1e-3, reg_mu=None,
+                          ref_row=ref_row, reg_format=None)
+            grad = jax.jit(jax.grad(obj))
+            h = 1e-5
+            cols = []
+            for j in range(w0.size):
+                e = jnp.zeros_like(w0).at[j].set(h)
+                cols.append((grad(w0 + e, X, T) - grad(w0 - e, X, T))
+                            / (2 * h))
+            H_fd = np.stack([np.asarray(c) for c in cols], axis=1)
+            resid = H_fd @ np.asarray(u).ravel() - np.asarray(g)
+            scale = 1.0 + np.abs(np.asarray(g)).max()
+            assert np.abs(resid).max() / scale < 1e-5, (method, ref_row)
