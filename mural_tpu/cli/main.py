@@ -164,8 +164,23 @@ def _base_train_opts(args, model_type: str):
     )
 
 
+def _warn_n_h5_files(args) -> None:
+    """The reference shards H5 *generation* across --n_h5_files files
+    with ExternalLink stitching (ref data/preprocessing.py:319-353)
+    because its per-character Python encoding was slow enough to need
+    parallel pre-encoding.  Our --with_h5 cache holds only the small
+    parsed site table (distal windows are gathered on device), so there
+    is nothing to shard; say so instead of silently ignoring the flag."""
+    if getattr(args, "n_h5_files", 1) and args.n_h5_files > 1:
+        print(f"Warning: --n_h5_files {args.n_h5_files} ignored: the "
+              "site-encoding cache is a single small file (distal "
+              "windows are encoded on device, not cached); writing 1 "
+              "cache file.")
+
+
 def cmd_train(args, model_type: str) -> int:
     from mural_tpu.tune.runner import ExperimentOptions, run_experiment
+    _warn_n_h5_files(args)
     space = _build_space(args, model_type)
     opts = _base_train_opts(args, model_type)
     exp = ExperimentOptions(
@@ -196,6 +211,7 @@ def cmd_transfer(args, model_type: str) -> int:
               "transfer learning! Setting it to True.")
         args.train_all = True
 
+    _warn_n_h5_files(args)
     saved = load_config(_abspath(args.model_config_path))
     config = dict(saved)
     config["transfer_learning"] = True
@@ -354,14 +370,24 @@ def cmd_calc_scaling_factor(args, model_type: str) -> int:
 
 
 def cmd_get_best_model(args, model_type: str) -> int:
+    """Reference-format output: one tab-separated line per trial,
+    ``<checkpoint_dir>\\t<loss:.6f>``, sorted by loss ascending
+    (ref scripts/get_best_model.py:60-68).  The reference script also
+    has an off-by-one we do not copy: it reads a headerless
+    progress.csv with pandas' default header row, which shifts every
+    epoch index down by one and can never select checkpoint_<last>."""
+    import os as _os
+
     from mural_tpu.utils.trials import scan_experiment_best
     best = scan_experiment_best(args.trial_path)
     if not best:
         print("No finished trials found under", args.trial_path)
         return 1
-    print(f"{'loss':>12}  checkpoint")
     for path, loss in best:
-        print(f"{loss:>12.6g}  {path}")
+        ckpt_dir = _os.path.dirname(path) if path.endswith(
+            _os.sep + "model") or _os.path.basename(path) == "model" \
+            else path
+        print(f"{ckpt_dir}\t{loss:.6f}")
     return 0
 
 

@@ -137,3 +137,56 @@ def test_make_example_data_generator(tmp_path):
                          str(tmp_path / "seq.fa"), central_bp=50_000,
                          local_radius=3, local_order=2, distal_radius=30)
     assert ds.n_sites == 2000
+
+
+def _fake_trial(exp_dir, tag, losses):
+    """Fabricate a trial dir with per-checkpoint metrics files."""
+    tdir = exp_dir / f"Train_{tag}_00000"
+    for epoch, loss in enumerate(losses):
+        cdir = tdir / f"checkpoint_{epoch}"
+        os.makedirs(cdir, exist_ok=True)
+        (cdir / "model").write_bytes(b"x")
+        (cdir / f"epoch_{epoch}_metrics.txt").write_text(
+            f"loss: {loss}\nfdiri_loss: {loss + 0.01}\n")
+    return tdir
+
+
+def test_get_best_model_reference_table(tmp_path, capsys):
+    """Output parity with ref scripts/get_best_model.py:60-68: one
+    tab-separated '<checkpoint_dir>\t<loss:.6f>' line per trial,
+    sorted ascending by loss."""
+    from mural_tpu.cli.mural_snv import main
+    exp = tmp_path / "results" / "exp"
+    t1 = _fake_trial(exp, "aaaaa", [0.9, 0.5, 0.7])
+    t2 = _fake_trial(exp, "bbbbb", [0.4, 0.6])
+    rc = main(["get_best_model", "--trial_path", str(exp)])
+    assert rc == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if "\t" in ln]
+    assert lines == [
+        f"{t2 / 'checkpoint_0'}\t0.400000",
+        f"{t1 / 'checkpoint_1'}\t0.500000",
+    ]
+
+
+def test_n_h5_files_warns_when_gt_one(tiny_genome, tiny_bed, tmp_path,
+                                      monkeypatch, capsys):
+    """--n_h5_files > 1 must not be a silent no-op (VERDICT r3 item 9):
+    the single-file site cache prints an explicit 'ignored' warning."""
+    from mural_tpu.cli.mural_snv import main
+    monkeypatch.chdir(tmp_path)
+    rc = main([
+        "train", "--ref_genome", tiny_genome["path"],
+        "--train_data", tiny_bed, "--experiment_name", "h5warn",
+        "--n_trials", "1", "--epochs", "1", "--segment_center", "5000",
+        "--distal_radius", "105", "--local_radius", "3",
+        "--local_order", "2", "--local_hidden1_size", "16",
+        "--CNN_out_channels", "4", "--batch_size", "32",
+        "--sampled_segments", "4", "--split_seed", "7",
+        "--weight_decay_auto", "0",
+        "--with_h5", "--n_h5_files", "4",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "--n_h5_files 4 ignored" in out
+    assert "writing 1 cache file" in out
