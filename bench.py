@@ -29,27 +29,46 @@ import time
 
 BASELINE_TRAIN_WINDOWS_PER_SEC = 1384.0   # torch CPU anchor, BASELINE.md
 BATCH = 2048
-ITERS = 30
 V5E_BF16_PEAK_FLOPS = 197e12              # TPU v5e peak, bf16
 
 
-def _median_blocks(run_block, n_blocks=5, iters_per_block=6):
+_BLOCK_SPREADS = {}    # measurement name -> relative block spread
+
+
+def _median_blocks(run_block, n_blocks=5, iters_per_block=24,
+                   spread_key=None):
     """Median per-iteration time over timing blocks.
 
     The container's remote-compile/transport service stalls
     unpredictably (docs/design.md section 6); a stall inside one long
     timing loop poisons the mean, while the median of several short
-    blocks survives any minority of stalled blocks."""
+    blocks survives any minority of stalled blocks.
+
+    ``iters_per_block`` doubles as the dispatch pipeline depth: the
+    transport's per-dispatch enqueue latency (~4.5 ms as of round 4,
+    ~0.7 ms in round 2 -- docs/design.md section 6b) only overlaps when
+    >=~24 dispatches are in flight, and a real training epoch IS a
+    deep pipeline (hundreds of back-to-back dispatches), so a shallow
+    block under-reports the steady-state rate the loop actually gets.
+
+    ``spread_key``: record (max-min)/median of the block times under
+    this name; a large spread flags a transport stall inside the
+    measurement (the stall detector VERDICT r3 item 1 asked for)."""
     times = []
     for _ in range(n_blocks):
         t0 = time.time()
         run_block(iters_per_block)
         times.append((time.time() - t0) / iters_per_block)
     times.sort()
-    return times[len(times) // 2]
+    med = times[len(times) // 2]
+    if spread_key is not None:
+        _BLOCK_SPREADS[spread_key] = round(
+            (times[-1] - times[0]) / max(med, 1e-12), 3)
+    return med
 
 
-def _measure_step(step, state, y, cat, codes, mask, rng, iters=ITERS):
+def _measure_step(step, state, y, cat, codes, mask, rng,
+                  spread_key=None):
     state_box = [state]
     state_box[0], loss, _ = step(state_box[0], y, cat, None, codes,
                                  mask, rng)
@@ -61,8 +80,34 @@ def _measure_step(step, state, y, cat, codes, mask, rng, iters=ITERS):
                                          codes, mask, rng)
         loss.block_until_ready()
 
-    dt = _median_blocks(block)
+    dt = _median_blocks(block, spread_key=spread_key)
     return dt, state_box[0]
+
+
+def _dispatch_enqueue_ms():
+    """Transport health: per-dispatch cost of a canonical small
+    program through the device transport, at shallow (6) pipeline
+    depth.  Any program beyond a single fused elementwise kernel pays
+    this per execute (measured round 4: ~4.5 ms vs ~0.7 ms in round 2
+    -- the root cause of the r02->r03 single-dispatch regression, see
+    docs/design.md section 6b).  Recording it in every artifact lets a
+    reader normalise dispatch-bound metrics across environment drift."""
+    import jax
+    import jax.numpy as jnp
+    w = jnp.full((64, 64), 0.01, jnp.float32)
+    f = jax.jit(lambda x: jnp.tanh(x @ w))
+    x = jnp.zeros((64, 64), jnp.float32)
+    x = f(x)
+    x.block_until_ready()
+    times = []
+    for _ in range(5):
+        t0 = time.time()
+        for _ in range(6):
+            x = f(x)
+        x.block_until_ready()
+        times.append((time.time() - t0) / 6)
+    times.sort()
+    return times[2] * 1000.0
 
 
 def _write_synthetic(td, n_genome, n_sites, rng):
@@ -208,7 +253,7 @@ def _indel_step_rates():
                 loss.block_until_ready()
 
             out[key] = B / _median_blocks(block, n_blocks=5,
-                                          iters_per_block=5)
+                                          spread_key=f"indel_{key}")
         except Exception:
             out[key] = None
     return out
@@ -466,8 +511,14 @@ def main():
     except Exception:
         pass
 
+    dispatch_ms = None
+    try:
+        dispatch_ms = _dispatch_enqueue_ms()
+    except Exception:
+        pass
+
     dt_single, state = _measure_step(step, state, y, cat, codes, mask,
-                                     rng)
+                                     rng, spread_key="single_dispatch")
     single_value = BATCH / dt_single
 
     # --- K=8 scan steps per dispatch (loop default) --------------------
@@ -478,7 +529,7 @@ def main():
     codess = jnp.broadcast_to(codes, (K,) + codes.shape)
     masks = jnp.broadcast_to(mask, (K,) + mask.shape)
 
-    def _measure_scan(stepK):
+    def _measure_scan(stepK, spread_key=None):
         sbox = [fresh_state()]
         sbox[0], losses, _ = stepK(sbox[0], ys, cats, None, codess,
                                    masks, rng)
@@ -490,7 +541,8 @@ def main():
                                            codess, masks, rng)
             losses.block_until_ready()
 
-        return _median_blocks(block) / K
+        return _median_blocks(block, iters_per_block=8,
+                              spread_key=spread_key) / K
 
     # production path (f32): the headline.  The variants below are
     # informational; a remote-compile-service stall on one of them must
@@ -498,7 +550,8 @@ def main():
     headline_fallback = False
     try:
         dt_f32 = _measure_scan(make_packed_train_step_scan(model,
-                                                           fresh_state()))
+                                                           fresh_state()),
+                               spread_key="scan_f32")
         value = BATCH / dt_f32
     except Exception:
         dt_f32, value = dt_single, single_value
@@ -510,7 +563,7 @@ def main():
         step16 = make_packed_train_step(model, fresh_state(),
                                         donate=True, bf16=True)
         dt_bf16, _ = _measure_step(step16, fresh_state(), y, cat, codes,
-                                   mask, rng)
+                                   mask, rng, spread_key="bf16_single")
         bf16_value = BATCH / dt_bf16
     except Exception:
         bf16_value = None
@@ -518,7 +571,7 @@ def main():
     # --- bf16 + K-scan: the fastest opt-in configuration ---------------
     try:
         dt_bf16_scan = _measure_scan(make_packed_train_step_scan(
-            model, fresh_state(), bf16=True))
+            model, fresh_state(), bf16=True), spread_key="scan_bf16")
         bf16_scan_value = BATCH / dt_bf16_scan
     except Exception:
         bf16_scan_value = None
@@ -584,6 +637,9 @@ def main():
             ensb.get("aggregate")),
         "ensemble8_b128_serial_windows_per_sec": _r(ensb.get("serial")),
         "ensemble8_b128_speedup": _r(ensb.get("speedup"), 2),
+        "dispatch_enqueue_ms": (round(dispatch_ms, 3)
+                                if dispatch_ms is not None else None),
+        "block_spreads": _BLOCK_SPREADS or None,
     }))
 
 
