@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from mural_tpu.data.dataset import prepare_dataset
 from mural_tpu.train.optim import LRSchedule
 from mural_tpu.tune.space import Choice, LogUniform

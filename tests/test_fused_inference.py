@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from mural_tpu.models.layers import one_hot_from_codes
 from mural_tpu.models.snv import SNVNet2
 from mural_tpu.ops.fused_inference import fold_snv2, snv2_fused_forward

@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from mural_tpu.genome.encode import ONE_HOT_TABLE
 from mural_tpu.models.layers import (BNConv, FusedStemConvPool,
                                      max_pool1d, one_hot_from_codes)

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from mural_tpu.data.batcher import segment_pool_batches
 from mural_tpu.data.dataset import prepare_dataset
 from mural_tpu.genome import encode as enc
