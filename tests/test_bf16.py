@@ -42,6 +42,7 @@ def setup():
                                          (y, cat, codes, mask)))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("precision", [None, "bfloat16"])
 def test_bf16_step_runs_and_converges(setup, precision):
     import jax
@@ -61,6 +62,7 @@ def test_bf16_step_runs_and_converges(setup, precision):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_bf16_trajectory_close_to_f32(setup):
     import jax
 
@@ -81,6 +83,7 @@ def test_bf16_trajectory_close_to_f32(setup):
     np.testing.assert_allclose(traj["bfloat16"], traj[None], rtol=0.02)
 
 
+@pytest.mark.slow
 def test_bf16_activation_step_trajectory(setup):
     """The --bf16 mixed-precision path (bf16 activations, f32 optimizer/
     BN stats/loss reduction) tracks the f32 loss trajectory."""
@@ -110,6 +113,7 @@ def test_bf16_activation_step_trajectory(setup):
     assert np.all(np.isfinite(np.asarray(s16.flat_stats)))
 
 
+@pytest.mark.slow
 def test_bf16_unet_gradients_alive():
     """Regression: the default jnp.max VJP could match nowhere under
     XLA fusion/remat in the bf16 path (comparison against a

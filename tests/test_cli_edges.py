@@ -62,6 +62,7 @@ def test_evaluate_kmer_only_and_regional_only(trained, tiny_genome):
               "--regional_only"])
 
 
+@pytest.mark.slow
 def test_cli_use_ray_search(tiny_genome, tiny_bed, tmp_path, monkeypatch):
     from mural_tpu.cli.mural_snv import main
     monkeypatch.chdir(tmp_path)
@@ -190,3 +191,24 @@ def test_n_h5_files_warns_when_gt_one(tiny_genome, tiny_bed, tmp_path,
     out = capsys.readouterr().out
     assert "--n_h5_files 4 ignored" in out
     assert "writing 1 cache file" in out
+
+
+def test_indel_throughput_advisory(capsys):
+    """INDEL train without --bf16 / with a small batch prints the
+    measured throughput guidance; SNV and a tuned INDEL config stay
+    quiet (VERDICT r3 item 6)."""
+    import argparse
+
+    from mural_tpu.cli.main import _advise_indel_throughput
+
+    ns = argparse.Namespace(bf16=False, batch_size=[64])
+    _advise_indel_throughput(ns, "indel")
+    out = capsys.readouterr().out
+    assert "--bf16" in out and "batch_size 64" in out
+
+    _advise_indel_throughput(ns, "snv")
+    assert capsys.readouterr().out == ""
+
+    tuned = argparse.Namespace(bf16=True, batch_size=[128])
+    _advise_indel_throughput(tuned, "indel")
+    assert capsys.readouterr().out == ""

@@ -75,6 +75,7 @@ def test_dataset_distal_track_alignment(tiny_genome, tiny_bed,
             assert centre[i, t] == pytest.approx(expect, abs=1e-3)
 
 
+@pytest.mark.slow
 def test_train_predict_with_distal_tracks(tiny_genome, tiny_bed,
                                           track_files, tmp_path):
     import pandas as pd

@@ -139,6 +139,7 @@ def test_snvnet_variants_and_registry():
     assert np.allclose(np.exp(np.asarray(out)).sum(axis=1), 1.0, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_unet_shapes_and_reverse():
     rng = np.random.default_rng(5)
     B, Lw = 4, 2000

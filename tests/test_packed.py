@@ -68,6 +68,7 @@ def test_pack_unpack_roundtrip(setup):
                  ref, back_np)
 
 
+@pytest.mark.slow
 def test_packed_trajectory_matches_unpacked(setup):
     model, variables, sched, (y, cat, codes, mask) = setup
     rng = jax.random.key(7)

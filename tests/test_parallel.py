@@ -16,6 +16,7 @@ def test_mesh_helpers():
         make_mesh(len(jax.devices()) + 1)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_dp_training_matches_single_device(tiny_genome, tiny_bed,
                                            tmp_path):

@@ -5,6 +5,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 needs8 = pytest.mark.skipif(len(jax.devices()) < 8,
                             reason="needs 8 devices")
 

@@ -66,6 +66,7 @@ def test_farm_inline_roundtrip(tmp_path, rng, gz):
     assert np.allclose(probs.sum(axis=1), 1.0, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_farm_workers_byte_identical(tmp_path, rng):
     """n_workers>0 output must be byte-identical to the inline path
     (ordering restored by sequence number; each chunk its own gzip
@@ -140,6 +141,7 @@ def test_farm_calibrated_matches_direct(tmp_path, rng):
         assert fh.read() == expect
 
 
+@pytest.mark.slow
 def test_farm_dead_worker_raises_instead_of_hanging(tmp_path, rng):
     """A worker killed by the OS (OOM/segfault) must surface as an
     error from close() within bounded time, not a forever-blocked

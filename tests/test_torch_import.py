@@ -65,6 +65,7 @@ def test_pure_python_reader_matches_torch(shipped):
         assert np.allclose(sd_py[k], sd_torch[k]), k
 
 
+@pytest.mark.slow
 def test_shipped_checkpoint_forward_parity(shipped, flax_model_and_vars):
     """Flax forward with imported weights == torch reference forward."""
     torch = pytest.importorskip("torch")

@@ -28,6 +28,7 @@ def test_config_key_normalisation():
     assert config["down_list"] == [1, 4, 5, 5, 5, 2]
 
 
+@pytest.mark.slow
 def test_shipped_indel_checkpoint_forward_parity():
     torch = pytest.importorskip("torch")
     from tests.test_torch_parity import TorchUNet, copy_flax_to_torch

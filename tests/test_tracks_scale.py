@@ -65,6 +65,7 @@ def test_from_intervals_straddles_build_chunks():
         T._BUILD_CHUNK = old_chunk
 
 
+@pytest.mark.slow
 def test_ten_million_site_query_fast(tmp_path):
     rng = np.random.default_rng(13579)
     """10M mean queries over a 50 Mb synthetic bedGraph track in

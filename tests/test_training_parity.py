@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from mural_tpu.genome.encode import ONE_HOT_TABLE
 from mural_tpu.models.snv import SNVNet2
 from mural_tpu.train.optim import LRSchedule

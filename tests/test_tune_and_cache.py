@@ -43,6 +43,7 @@ def test_asha_promotion():
     assert s.on_report("D", 3, {"loss": 100.0})
 
 
+@pytest.mark.slow
 def test_run_experiment_end_to_end(tiny_genome, tiny_bed, tmp_path):
     from mural_tpu.train.loop import TrainOptions
     from mural_tpu.tune.runner import ExperimentOptions, run_experiment
