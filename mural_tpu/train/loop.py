@@ -610,7 +610,7 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
         if tail["error"] is not None:
             raise tail["error"]
 
-    def _run_tail(epoch, params_host, stats_host, valid_probs,
+    def _run_tail(epoch, params_host_fn, stats_host_fn, valid_probs,
                   total_loss, valid_total_loss):
         nonlocal metrics, min_loss, min_loss_epoch, after_min_loss
         try:
@@ -658,7 +658,8 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             if opts.poisson_calib:
                 evp.evaluate_regional_corr(chr_pos)
 
-            save_checkpoint(save_path, params_host, stats_host, config,
+            save_checkpoint(save_path, params_host_fn(),
+                            stats_host_fn(), config,
                             fdiri_cal)
 
             current_loss = valid_total_loss / max(valid_size, 1)
@@ -690,6 +691,16 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             tail["error"] = e
             tail["stop"] = True
 
+    # epoch-0 permutation: later epochs' permutations are computed and
+    # uploaded while the device runs the current epoch (see below), so
+    # the host's only critical-path work per epoch is the dispatches
+    if use_resident:
+        _rows_np0, _, _ = stack_epoch_rows(
+            ds_train, config["sampled_segments"], config["batch_size"],
+            shuffle=True, rng=host_rng)
+        pending_rows = (jax.device_put(_rows_np0, rows_device),
+                        _rows_np0.shape[0])
+
     for epoch in range(opts.epochs):
         if tail["stop"]:
             # the overlapped tail already reported a scheduler stop:
@@ -703,15 +714,31 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             jax.profiler.start_trace(opts.profile_dir)
 
         if use_resident:
-            # host work this epoch: one permutation + one upload
-            rows_np, _, _ = stack_epoch_rows(
-                ds_train, config["sampled_segments"],
-                config["batch_size"], shuffle=True, rng=host_rng)
+            rows_dev_cur, batch_count = pending_rows
             state, total_loss_dev, _lr = resident_epoch(
                 state, res_train.arena, res_train.y, res_train.cat,
                 res_train.cont, res_train.astart, res_train.neg,
-                jax.device_put(rows_np, rows_device), base_rng)
-            batch_count = rows_np.shape[0]
+                rows_dev_cur, base_rng)
+            # dispatch validation NOW (async -- XLA runs it after the
+            # epoch program; the host never blocks between the two) and
+            # take device-side snapshots of the new state: the epoch
+            # tail fetches the copies while the NEXT epoch's donated
+            # steps invalidate the live buffers (VERDICT r3 item 7 --
+            # the e2e-vs-device gap was these serialized syncs)
+            logits_stacked, vloss_dev = resident_eval(
+                state.flat_params, state.flat_stats,
+                res_valid.arena, res_valid.y, res_valid.cat,
+                res_valid.cont, res_valid.astart, res_valid.neg,
+                vrows_dev, vmasks_dev)
+            snap_p = state.flat_params + 0    # fresh device buffers,
+            snap_s = state.flat_stats + 0     # immune to donation
+            # next epoch's permutation + upload overlap the device work
+            if epoch + 1 < opts.epochs:
+                _rows_np, _, _ = stack_epoch_rows(
+                    ds_train, config["sampled_segments"],
+                    config["batch_size"], shuffle=True, rng=host_rng)
+                pending_rows = (jax.device_put(_rows_np, rows_device),
+                                _rows_np.shape[0])
         else:
             # device-side loss accumulator: keeping the scalar on device
             # avoids a host sync per step (each sync costs a full round
@@ -771,11 +798,7 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
 
         # ---- validation (async: device arrays collected, one sync) ---
         if use_resident:
-            logits_stacked, vloss_dev = resident_eval(
-                state.flat_params, state.flat_stats,
-                res_valid.arena, res_valid.y, res_valid.cat,
-                res_valid.cont, res_valid.astart, res_valid.neg,
-                vrows_dev, vmasks_dev)
+            # already dispatched right after the epoch program above
             valid_total_loss = float(vloss_dev)
             lg = np.asarray(logits_stacked)
             valid_logits = (np.concatenate(
@@ -813,15 +836,29 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             break
 
         # host snapshot BEFORE the next epoch's donated train steps
-        # invalidate the buffers; the packed state is one transfer each
-        params_host = state.params_host()
-        stats_host = state.batch_stats_host()
+        # invalidate the buffers.  Resident path: the snapshots are
+        # device-side copies taken at dispatch time, so the tail thread
+        # pays the device->host transfer off the critical path while
+        # the next epoch trains; host-fed path: one transfer each here.
+        if use_resident:
+            from mural_tpu.train.packed import unpack_tree_np
+
+            def params_host_fn(sp=snap_p, spec=state.p_spec):
+                return unpack_tree_np(np.asarray(sp), spec)
+
+            def stats_host_fn(ss=snap_s, spec=state.s_spec):
+                return unpack_tree_np(np.asarray(ss), spec)
+        else:
+            _ph = state.params_host()
+            _sh = state.batch_stats_host()
+            params_host_fn = (lambda ph=_ph: ph)
+            stats_host_fn = (lambda sh=_sh: sh)
         t_fetch_done = time.time()
 
         current_loss = valid_total_loss / max(valid_size, 1)
         tail["thread"] = threading.Thread(
             target=_run_tail,
-            args=(epoch, params_host, stats_host, valid_probs,
+            args=(epoch, params_host_fn, stats_host_fn, valid_probs,
                   total_loss, valid_total_loss),
             daemon=True)
         tail["thread"].start()

@@ -25,8 +25,10 @@ def masked_ce_sum(logits, y, mask):
     Model outputs are log-probabilities; torch CrossEntropyLoss treats
     them as logits and re-normalises -- replicated exactly.
     """
-    logits = logits.astype(jnp.float32)   # identity for f32; the bf16
-    logz = jax.nn.logsumexp(logits, axis=1)   # path reduces in full prec
+    # identity for f32; the bf16 path reduces in full precision; an f64
+    # trace (the bench's double-precision torch-parity run) stays f64
+    logits = logits.astype(jnp.promote_types(logits.dtype, jnp.float32))
+    logz = jax.nn.logsumexp(logits, axis=1)
     picked = jnp.take_along_axis(logits, y[:, None], axis=1)[:, 0]
     return jnp.sum((logz - picked) * mask)
 
