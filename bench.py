@@ -231,8 +231,11 @@ def _indel_step_rates():
     out = {}
     # B=64 pins the reference recipe's batch; the step is half
     # dispatch-bound there -- B=128 is the measured saturation point
-    # (docs/usage.md batch guidance)
+    # (docs/usage.md batch guidance).  f32_b128 is the DEFAULT-FLAGS
+    # configuration (the CLI batch_size default is 128; --bf16 is
+    # opt-in), the number a user gets without reading the docs.
     for key, bf16, B in (("f32", False, 64), ("bf16", True, 64),
+                         ("f32_b128", False, 128),
                          ("bf16_b128", True, 128)):
         try:
             y = jnp.asarray(rng_np.integers(0, 8, B).astype(np.int32))
@@ -254,6 +257,83 @@ def _indel_step_rates():
 
             out[key] = B / _median_blocks(block, n_blocks=5,
                                           spread_key=f"indel_{key}")
+        except Exception:
+            out[key] = None
+    return out
+
+
+def _indel_resident_rates(n_sites=25_600, B=128):
+    """Device-resident INDEL epoch at the human-recipe geometry
+    (radius 4000 -> W=8000, k7/ch8, down_list 1,4,5,5,5,2): the merged-
+    window uint8 arena uploads once, each epoch is ONE dispatch, so the
+    per-dispatch transport latency (docs/design.md section 6b) that
+    bounds the host-fed step rates amortises over the whole epoch.
+    VERDICT r3 item 6: certifies --resident_data for radius-4000 INDEL
+    arenas on the chip and records the rate.
+
+    f32 at B=128 IS the default-flags configuration: the CLI defaults
+    are batch_size 128, --resident_data auto (which engages for this
+    geometry), and f32 (--bf16 opt-in)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mural_tpu.data.dataset import prepare_dataset
+    from mural_tpu.models.registry import build_model
+    from mural_tpu.train.optim import LRSchedule
+    from mural_tpu.train.packed import pack_state
+    from mural_tpu.train.resident import (make_resident,
+                                          make_resident_epoch_fn,
+                                          stack_epoch_rows)
+    from mural_tpu.train.state import create_train_state
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as td:
+        fa, bed, _ = _write_synthetic(td, 10_000_000, n_sites, rng)
+        ds = prepare_dataset(bed, fa, central_bp=300_000,
+                             local_radius=5, local_order=1,
+                             distal_radius=4000, model_type="indel")
+    W = ds.distal_width
+    config = dict(CNN_out_channels=8, CNN_kernel_size=7,
+                  down_list=[1, 4, 5, 5, 5, 2], use_reverse=False)
+    common = dict(emb_dims=[], n_cont=0, n_class=4, distal_order=1,
+                  in_channels=4)
+    model = build_model(0, config, common, "indel")
+    oh0 = jnp.zeros((2, W, 4), jnp.float32)
+    variables = model.init(jax.random.key(0), None, None, oh0, False)
+    sched = LRSchedule.build("StepLR2", 1e-3, 0.98, B, ds.n_sites,
+                             1e-4, 1e-6)
+    res = make_resident(ds)
+    if res is None:
+        return {}
+    rows, _, _ = stack_epoch_rows(ds, 10, B, shuffle=True,
+                                  rng=np.random.default_rng(1))
+    rows_dev = jnp.asarray(rows)
+    n_steps = rows.shape[0]
+    base_rng = jax.random.key(2)
+
+    out = {}
+    for key, bf16 in (("f32", False), ("bf16", True)):
+        try:
+            state = pack_state(create_train_state(
+                model, variables, "AdamW", 0.01, sched))
+            epoch_fn = make_resident_epoch_fn(model, state, W,
+                                              bf16=bf16)
+            sbox = [state]
+
+            def block(n):
+                for _ in range(n):
+                    sbox[0], loss, _ = epoch_fn(
+                        sbox[0], res.arena, res.y, res.cat, res.cont,
+                        res.astart, res.neg, rows_dev, base_rng)
+                loss.block_until_ready()
+
+            block(1)                # compile + warmup
+            dt = _median_blocks(block, n_blocks=3, iters_per_block=2,
+                                spread_key=f"indel_resident_{key}")
+            out[key] = n_steps * B / dt
         except Exception:
             out[key] = None
     return out
@@ -592,6 +672,11 @@ def main():
     except Exception:
         indel = {"f32": None, "bf16": None}
 
+    try:
+        indel_res = _indel_resident_rates()
+    except Exception:
+        indel_res = {}
+
     # --- planted-signal pipeline: k-mer corr + genome predict ----------
     try:
         pipe = _mini_pipeline()
@@ -629,7 +714,13 @@ def main():
                                            else None),
         "indel_train_windows_per_sec": _r(indel.get("f32")),
         "indel_bf16_windows_per_sec": _r(indel.get("bf16")),
+        "indel_b128_windows_per_sec": _r(indel.get("f32_b128")),
         "indel_bf16_b128_windows_per_sec": _r(indel.get("bf16_b128")),
+        # default flags = batch 128 + resident auto + f32
+        "indel_default_flags_windows_per_sec": _r(
+            indel_res.get("f32")),
+        "indel_resident_bf16_windows_per_sec": _r(
+            indel_res.get("bf16")),
         "genome_predict_sites_per_sec": _r(
             pipe.get("genome_predict_sites_per_sec")),
         "kmer_corr_3mer": _r(pipe.get("kmer_corr_3mer"), 4),
