@@ -216,14 +216,16 @@ class TorchBatchNorm(nn.Module):
                                 lambda: jnp.zeros((feat,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((feat,), jnp.float32))
+        # statistics dtype: f32 for f32/bf16 activations (for bf16 this
+        # keeps the large reductions and running-stat updates full
+        # precision), f64 under an x64 trace (the bench's double-
+        # precision torch-parity run)
+        stat_dt = jnp.promote_types(x.dtype, jnp.float32)
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             axes = tuple(range(x.ndim - 1))
-            # statistics always in f32 (identity for f32 inputs; for the
-            # bf16-activation mode this keeps the large reductions and
-            # the running-stat updates full precision)
-            x32 = x.astype(jnp.float32)
+            x32 = x.astype(stat_dt)
             # single-pass shifted statistics: mean and variance from ONE
             # read of x (both reductions fuse into one multi-output
             # reduce of d).  A naive E[x^2]-E[x]^2 cancels
@@ -253,7 +255,7 @@ class TorchBatchNorm(nn.Module):
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
         inv = jax.lax.rsqrt(var + self.epsilon)
-        if x.dtype == jnp.float32:
+        if x.dtype == stat_dt:
             return (x - mean) * inv * scale + bias
         # low-precision activations: normalise in f32 and cast only the
         # result.  XLA fuses the upcast into the elementwise kernel
@@ -263,9 +265,9 @@ class TorchBatchNorm(nn.Module):
         # cancel to O(1) -- below bf16's absolute resolution at that
         # magnitude, which zeroed a whole U-Net level's forward (and
         # with it every upstream gradient).
-        return ((x.astype(jnp.float32) - mean) * inv
-                * scale.astype(jnp.float32)
-                + bias.astype(jnp.float32)).astype(x.dtype)
+        return ((x.astype(stat_dt) - mean) * inv
+                * scale.astype(stat_dt)
+                + bias.astype(stat_dt)).astype(x.dtype)
 
 
 class BNConv(nn.Module):
