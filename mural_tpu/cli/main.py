@@ -155,6 +155,7 @@ def _base_train_opts(args, model_type: str):
         grace_period=args.grace_period,
         with_h5=getattr(args, "with_h5", False),
         h5f_path=getattr(args, "h5f_path", None),
+        n_h5_files=getattr(args, "n_h5_files", 1),
         dp_devices=getattr(args, "dp_devices", 1),
         profile_dir=getattr(args, "profile_dir", None),
         bf16=getattr(args, "bf16", False),
@@ -162,20 +163,6 @@ def _base_train_opts(args, model_type: str):
         resident=getattr(args, "resident_data", "auto"),
         fused_stem=getattr(args, "fused_stem", "auto"),
     )
-
-
-def _warn_n_h5_files(args) -> None:
-    """The reference shards H5 *generation* across --n_h5_files files
-    with ExternalLink stitching (ref data/preprocessing.py:319-353)
-    because its per-character Python encoding was slow enough to need
-    parallel pre-encoding.  Our --with_h5 cache holds only the small
-    parsed site table (distal windows are gathered on device), so there
-    is nothing to shard; say so instead of silently ignoring the flag."""
-    if getattr(args, "n_h5_files", 1) and args.n_h5_files > 1:
-        print(f"Warning: --n_h5_files {args.n_h5_files} ignored: the "
-              "site-encoding cache is a single small file (distal "
-              "windows are encoded on device, not cached); writing 1 "
-              "cache file.")
 
 
 def _advise_indel_throughput(args, model_type: str) -> None:
@@ -203,7 +190,6 @@ def _advise_indel_throughput(args, model_type: str) -> None:
 
 def cmd_train(args, model_type: str) -> int:
     from mural_tpu.tune.runner import ExperimentOptions, run_experiment
-    _warn_n_h5_files(args)
     _advise_indel_throughput(args, model_type)
     space = _build_space(args, model_type)
     opts = _base_train_opts(args, model_type)
@@ -235,7 +221,6 @@ def cmd_transfer(args, model_type: str) -> int:
               "transfer learning! Setting it to True.")
         args.train_all = True
 
-    _warn_n_h5_files(args)
     saved = load_config(_abspath(args.model_config_path))
     config = dict(saved)
     config["transfer_learning"] = True
@@ -311,6 +296,9 @@ def cmd_predict(args, model_type: str) -> int:
         pred_time_view=args.pred_time_view,
         n_devices=args.n_devices,
         fused_inference=getattr(args, "fused_inference", False),
+        with_h5=getattr(args, "with_h5", False),
+        h5f_path=_abspath(getattr(args, "h5f_path", None)),
+        n_h5_files=getattr(args, "n_h5_files", 1),
     )
     run_predict(opts, model_type)
     return 0

@@ -12,6 +12,15 @@ to this cache.
 Format: one HDF5 file next to the BED (or under ``h5f_path``) holding the
 SiteDataset per-site arrays + segment offsets; staleness = BED mtime +
 site count + encoding parameters, mirroring the reference's check.
+
+``n_files > 1`` (the ``--n_h5_files`` flag) shards the per-site arrays
+row-wise across N files written by N forked processes in parallel --
+the TPU-native analogue of the reference's ExternalLink-stitched
+multi-file H5 generation (ref data/preprocessing.py:319-353,
+gen_distal_h5.py:179-217): gzip compression is the serial cost of the
+cache write at 10^7-site scale, and it parallelizes embarrassingly
+across shards.  The master file carries the shard manifest + global
+attrs/segment offsets; loads stream the shards back on a thread pool.
 """
 
 from __future__ import annotations
@@ -56,38 +65,123 @@ def cache_path(bed_file: str, central_bp: int, local_radius: int,
     return os.path.join(base, name)
 
 
-_ARRAYS = ["chrom_id", "start", "stop", "strand_neg", "y", "local1",
-           "cat", "seg_offsets"]
+_SITE_ARRAYS = ["chrom_id", "start", "stop", "strand_neg", "y",
+                "local1", "cat"]
+_ARRAYS = _SITE_ARRAYS + ["seg_offsets"]
 
 
-def save_dataset_cache(ds, path: str) -> None:
+def _shard_path(path: str, k: int, n: int) -> str:
+    return f"{path}.part{k:02d}of{n:02d}"
+
+
+def _write_shard(path: str, arrays: dict) -> None:
+    """Write one row-shard (runs in a spawned worker process: JAX may be
+    live and multi-threaded in the parent, so fork() is unsafe)."""
     import h5py
+    n_rows = len(arrays[_SITE_ARRAYS[0]])
+    with h5py.File(path + ".tmp", "w") as hf:
+        hf.attrs["n_rows"] = n_rows
+        for name, data in arrays.items():
+            hf.create_dataset(name, data=data,
+                              compression="gzip", compression_opts=1)
+    os.replace(path + ".tmp", path)
+
+
+def save_dataset_cache(ds, path: str, n_files: int = 1) -> None:
+    """Write the cache; ``n_files > 1`` writes N row-shards in parallel
+    spawned processes (gzip is the serial cost at scale and shards
+    embarrassingly), then the stitching master (ref ExternalLink
+    sharding, preprocessing.py:319-353).  The master is written LAST so
+    its existence implies complete shards."""
+    import h5py
+    n_files = max(1, int(n_files))
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    if n_files > 1:
+        from concurrent.futures import ProcessPoolExecutor
+        import multiprocessing as mp
+        bounds = np.linspace(0, ds.n_sites, n_files + 1).astype(np.int64)
+        shards = [_shard_path(path, k, n_files) for k in range(n_files)]
+
+        def slice_of(k):
+            lo, hi = bounds[k], bounds[k + 1]
+            arrays = {name: getattr(ds, name)[lo:hi]
+                      for name in _SITE_ARRAYS}
+            if ds.cont is not None:
+                arrays["cont"] = ds.cont[lo:hi]
+            return arrays
+
+        from concurrent.futures.process import BrokenProcessPool
+        try:
+            with ProcessPoolExecutor(
+                    max_workers=min(n_files, os.cpu_count() or 1),
+                    mp_context=mp.get_context("spawn")) as pool:
+                futs = [pool.submit(_write_shard, sp, slice_of(k))
+                        for k, sp in enumerate(shards)]
+                for f in futs:
+                    f.result()  # re-raises a child's OSError as-is
+        except (ValueError, BrokenProcessPool):
+            # no spawn context / a worker died: the serial fallback
+            # still surfaces real I/O errors
+            for k, sp in enumerate(shards):
+                _write_shard(sp, slice_of(k))
     with h5py.File(path + ".tmp", "w") as hf:
         hf.attrs["n_sites"] = ds.n_sites
         hf.attrs["model_type"] = ds.model_type
         hf.attrs["chrom_names"] = np.array(ds.chrom_names, dtype="S")
-        for name in _ARRAYS:
-            hf.create_dataset(name, data=getattr(ds, name),
+        hf.attrs["n_files"] = n_files
+        if n_files > 1:
+            hf.attrs["shard_rows"] = (bounds[1:] - bounds[:-1])
+            hf.create_dataset("seg_offsets", data=ds.seg_offsets,
                               compression="gzip", compression_opts=1)
-        if ds.cont is not None:
-            hf.create_dataset("cont", data=ds.cont, compression="gzip",
-                              compression_opts=1)
+        else:
+            for name in _ARRAYS:
+                hf.create_dataset(name, data=getattr(ds, name),
+                                  compression="gzip", compression_opts=1)
+            if ds.cont is not None:
+                hf.create_dataset("cont", data=ds.cont,
+                                  compression="gzip", compression_opts=1)
     os.replace(path + ".tmp", path)
 
 
+def _master_shards(hf, path: str):
+    """Shard paths + row counts from a master file (empty for n=1)."""
+    n_files = int(hf.attrs.get("n_files", 1))
+    if n_files <= 1:
+        return []
+    rows = [int(r) for r in hf.attrs["shard_rows"]]
+    return [(_shard_path(path, k, n_files), rows[k])
+            for k in range(n_files)]
+
+
 def is_cache_fresh(path: str, bed_file: str, n_sites_hint=None) -> bool:
-    """mtime + sample-count staleness check (ref generate_h5fv2:322-346)."""
+    """mtime + sample-count staleness check (ref generate_h5fv2:322-346);
+    sharded caches additionally verify every shard's existence, mtime
+    and row count against the master manifest."""
     import h5py
     if not os.path.exists(path):
         return False
     try:
-        if os.lstat(bed_file).st_mtime >= os.lstat(path).st_mtime:
+        bed_mtime = os.lstat(bed_file).st_mtime
+        if bed_mtime >= os.lstat(path).st_mtime:
             return False
         with h5py.File(path, "r") as hf:
             if n_sites_hint is not None and \
                     hf.attrs["n_sites"] != n_sites_hint:
                 return False
-            return all(name in hf for name in _ARRAYS)
+            shards = _master_shards(hf, path)
+            if not shards:
+                return all(name in hf for name in _ARRAYS)
+            if "seg_offsets" not in hf:
+                return False
+        for sp, n_rows in shards:
+            if not os.path.exists(sp) or \
+                    bed_mtime >= os.lstat(sp).st_mtime:
+                return False
+            with h5py.File(sp, "r") as sf:
+                if sf.attrs.get("n_rows") != n_rows or \
+                        not all(name in sf for name in _SITE_ARRAYS):
+                    return False
+        return True
     except OSError:
         return False
 
@@ -103,8 +197,27 @@ def load_dataset_cache(path: str, genome, central_bp: int,
         if hasattr(model_type, "decode"):
             model_type = model_type.decode()
         chrom_names = [c.decode() for c in hf.attrs["chrom_names"]]
-        arrays = {name: hf[name][:] for name in _ARRAYS}
-        cont = hf["cont"][:] if "cont" in hf else None
+        shards = _master_shards(hf, path)
+        if shards:
+            arrays = {"seg_offsets": hf["seg_offsets"][:]}
+            cont = None
+        else:
+            arrays = {name: hf[name][:] for name in _ARRAYS}
+            cont = hf["cont"][:] if "cont" in hf else None
+    if shards:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def read_shard(sp):
+            with h5py.File(sp, "r") as sf:
+                return ({name: sf[name][:] for name in _SITE_ARRAYS},
+                        sf["cont"][:] if "cont" in sf else None)
+
+        with ThreadPoolExecutor(max_workers=min(8, len(shards))) as tp:
+            parts = list(tp.map(read_shard, [sp for sp, _ in shards]))
+        for name in _SITE_ARRAYS:
+            arrays[name] = np.concatenate([p[0][name] for p in parts])
+        if parts[0][1] is not None:
+            cont = np.concatenate([p[1] for p in parts])
     return SiteDataset(
         model_type=str(model_type),
         local_radius=local_radius,
@@ -130,8 +243,12 @@ def prepare_dataset_cached(bed_file: str, genome, central_bp: int,
                            distal_radius: int, model_type: str,
                            cache_dir: Optional[str] = None, tracks=None,
                            seq_only: bool = False, printer=print,
-                           bw_distal: bool = False):
+                           bw_distal: bool = False, n_files: int = 1):
     """prepare_dataset with a read-through cache (the --with_h5 path).
+
+    ``n_files`` (--n_h5_files) shards the cache write across N parallel
+    processes; a fresh cache is accepted regardless of its shard count
+    (the master manifest is authoritative).
 
     Per-base distal track values are never cached (they are gathered
     on demand per batch); the cache only has to re-attach the TrackSet
@@ -157,8 +274,9 @@ def prepare_dataset_cached(bed_file: str, genome, central_bp: int,
                          model_type=model_type, tracks=tracks,
                          seq_only=seq_only, bw_distal=bw_distal)
     try:
-        save_dataset_cache(ds, path)
-        printer("wrote site-encoding cache:", path)
+        save_dataset_cache(ds, path, n_files=n_files)
+        printer(f"wrote site-encoding cache ({max(1, n_files)} "
+                f"file(s)):", path)
     except OSError as e:
         printer("Warning: could not write cache:", e)
     return ds

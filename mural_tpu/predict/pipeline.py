@@ -50,6 +50,9 @@ class PredictOptions:
     n_devices: int = 1                 # shard inference over a mesh
     fused_inference: bool = False      # BN-folded fused forward (SNV m2)
     device: Optional[object] = None
+    with_h5: bool = False              # on-disk site-table cache
+    h5f_path: Optional[str] = None
+    n_h5_files: int = 1                # cache shard count
 
 
 def build_model_from_config(config: Dict, n_cont: int, model_type: str):
@@ -97,14 +100,24 @@ def run_predict(opts: PredictOptions, model_type: str = "snv",
                  and not config.get("without_bw_distal", False)
                  and not seq_only)
     genome = Genome.from_fasta(opts.ref_genome)
-    ds = prepare_dataset(
-        opts.test_data, genome, central_bp=segment_center,
-        local_radius=config["local_radius"],
-        local_order=config["local_order"],
-        distal_radius=config["distal_radius"],
-        distal_order=config.get("distal_order", 1),
-        model_type=model_type, tracks=tracks, seq_only=seq_only,
-        bw_distal=bw_distal)
+    if opts.with_h5:
+        from mural_tpu.data.cache import prepare_dataset_cached
+        ds = prepare_dataset_cached(
+            opts.test_data, genome, segment_center,
+            config["local_radius"], config["local_order"],
+            config["distal_radius"], model_type,
+            cache_dir=opts.h5f_path, tracks=tracks, seq_only=seq_only,
+            printer=printer, bw_distal=bw_distal,
+            n_files=opts.n_h5_files)
+    else:
+        ds = prepare_dataset(
+            opts.test_data, genome, central_bp=segment_center,
+            local_radius=config["local_radius"],
+            local_order=config["local_order"],
+            distal_radius=config["distal_radius"],
+            distal_order=config.get("distal_order", 1),
+            model_type=model_type, tracks=tracks, seq_only=seq_only,
+            bw_distal=bw_distal)
     printer("test set preprocess time:", time.time() - start_time)
 
     ckpt_n_cont = config.get("n_cont")

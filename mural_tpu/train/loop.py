@@ -61,6 +61,7 @@ class TrainOptions:
     poisson_calib: bool = False
     with_h5: bool = False              # use the on-disk site cache
     h5f_path: Optional[str] = None
+    n_h5_files: int = 1                # cache shard count (parallel write)
     grace_period: int = 5
     trial_dir: str = "."
     trial_training_log: Optional[str] = None
@@ -214,7 +215,7 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
             config["distal_radius"], model_type,
             cache_dir=opts.h5f_path, tracks=tracks,
             seq_only=opts.seq_only, printer=printer,
-            bw_distal=bw_distal)
+            bw_distal=bw_distal, n_files=opts.n_h5_files)
     else:
         ds = prepare_dataset(
             opts.train_data, genome, central_bp=config["segment_center"],

@@ -170,27 +170,34 @@ def test_get_best_model_reference_table(tmp_path, capsys):
     ]
 
 
-def test_n_h5_files_warns_when_gt_one(tiny_genome, tiny_bed, tmp_path,
-                                      monkeypatch, capsys):
-    """--n_h5_files > 1 must not be a silent no-op (VERDICT r3 item 9):
-    the single-file site cache prints an explicit 'ignored' warning."""
+def test_n_h5_files_shards_cache(tiny_genome, tiny_bed, tmp_path,
+                                 monkeypatch, capsys):
+    """--n_h5_files > 1 shards the site cache write across N parallel
+    files (VERDICT r3 item 9; ref ExternalLink multi-file H5 generation,
+    preprocessing.py:319-353) and trains from the reassembled cache."""
+    import glob
+
     from mural_tpu.cli.mural_snv import main
     monkeypatch.chdir(tmp_path)
     rc = main([
         "train", "--ref_genome", tiny_genome["path"],
-        "--train_data", tiny_bed, "--experiment_name", "h5warn",
+        "--train_data", tiny_bed, "--experiment_name", "h5shard",
         "--n_trials", "1", "--epochs", "1", "--segment_center", "5000",
         "--distal_radius", "105", "--local_radius", "3",
         "--local_order", "2", "--local_hidden1_size", "16",
         "--CNN_out_channels", "4", "--batch_size", "32",
         "--sampled_segments", "4", "--split_seed", "7",
         "--weight_decay_auto", "0",
-        "--with_h5", "--n_h5_files", "4",
+        "--with_h5", "--h5f_path", str(tmp_path / "cache"),
+        "--n_h5_files", "4",
     ])
     assert rc == 0
     out = capsys.readouterr().out
-    assert "--n_h5_files 4 ignored" in out
-    assert "writing 1 cache file" in out
+    assert "wrote site-encoding cache (4 file(s))" in out
+    masters = [p for p in glob.glob(str(tmp_path / "cache" / "*.h5"))
+               if ".part" not in p]
+    assert len(masters) == 1
+    assert len(glob.glob(masters[0] + ".part*")) == 4
 
 
 def test_indel_throughput_advisory(capsys):

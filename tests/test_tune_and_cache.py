@@ -106,6 +106,52 @@ def test_dataset_cache_roundtrip(tiny_genome, tiny_bed, tmp_path):
     assert np.array_equal(ds0.gather_distal(rows), ds2.gather_distal(rows))
 
 
+def test_dataset_cache_sharded(tiny_genome, tiny_bed, tmp_path):
+    """--n_h5_files > 1: row-sharded parallel cache write (the TPU-native
+    analogue of ref ExternalLink sharding, preprocessing.py:319-353).
+    The sharded cache must load back identical to the single-file one,
+    and staleness must trip when any shard goes missing or stale."""
+    import glob
+
+    from mural_tpu.data.cache import (cache_path, is_cache_fresh,
+                                      prepare_dataset_cached)
+    from mural_tpu.data.dataset import prepare_dataset
+
+    kwargs = dict(central_bp=5000, local_radius=3, local_order=2,
+                  distal_radius=30, model_type="snv")
+    ds0 = prepare_dataset(tiny_bed, tiny_genome["path"], **kwargs)
+    ds1 = prepare_dataset_cached(tiny_bed, tiny_genome["path"],
+                                 5000, 3, 2, 30, "snv",
+                                 cache_dir=str(tmp_path),
+                                 printer=lambda *a: None, n_files=4)
+    path = cache_path(tiny_bed, 5000, 3, 2, 30, "snv", str(tmp_path))
+    shards = sorted(glob.glob(path + ".part*"))
+    assert len(shards) == 4
+    assert is_cache_fresh(path, tiny_bed)
+    # cache-hit load reassembles the shards
+    ds2 = prepare_dataset_cached(tiny_bed, tiny_genome["path"],
+                                 5000, 3, 2, 30, "snv",
+                                 cache_dir=str(tmp_path),
+                                 printer=lambda *a: None, n_files=4)
+    for a, b in [(ds0, ds1), (ds0, ds2)]:
+        assert np.array_equal(a.cat, b.cat)
+        assert np.array_equal(a.y, b.y)
+        assert np.array_equal(a.seg_offsets, b.seg_offsets)
+        assert np.array_equal(a.local1, b.local1)
+    rows = np.arange(min(20, ds0.n_sites))
+    assert np.array_equal(ds0.gather_distal(rows), ds2.gather_distal(rows))
+    # a missing shard invalidates the whole cache
+    os.remove(shards[2])
+    assert not is_cache_fresh(path, tiny_bed)
+    # regeneration heals it (master written last, so a fresh master
+    # implies complete shards)
+    prepare_dataset_cached(tiny_bed, tiny_genome["path"],
+                           5000, 3, 2, 30, "snv",
+                           cache_dir=str(tmp_path),
+                           printer=lambda *a: None, n_files=4)
+    assert is_cache_fresh(path, tiny_bed)
+
+
 def test_extra_calibrators():
     from mural_tpu.calibrate.extra import (DiagDirichlet,
                                            DirichletCalibrator,
