@@ -53,7 +53,17 @@ def _median_blocks(run_block, n_blocks=5, iters_per_block=24,
 
     ``spread_key``: record (max-min)/median of the block times under
     this name; a large spread flags a transport stall inside the
-    measurement (the stall detector VERDICT r3 item 1 asked for)."""
+    measurement (the stall detector VERDICT r3 item 1 asked for).
+
+    Fence rule: each ``run_block`` must end with a VALUE FETCH
+    (``float(loss)`` / ``np.asarray``), not ``block_until_ready``.
+    Measured on the axon transport: right after a compile,
+    ``block_until_ready`` can return before remote execution completes
+    (a whole 5-call block once measured 0.11 ms that actually took
+    100 ms), which inflated the round-3 ensemble numbers; a value fetch
+    always waits for real results.  With deep blocks (>=6 iters) and a
+    median over >=5 blocks, any remaining early-return block is
+    discarded as an outlier."""
     times = []
     for _ in range(n_blocks):
         t0 = time.time()
@@ -72,13 +82,13 @@ def _measure_step(step, state, y, cat, codes, mask, rng,
     state_box = [state]
     state_box[0], loss, _ = step(state_box[0], y, cat, None, codes,
                                  mask, rng)
-    loss.block_until_ready()        # compile + warmup
+    float(loss)                     # compile + warmup (value fetch)
 
     def block(n):
         for _ in range(n):
             state_box[0], loss, _ = step(state_box[0], y, cat, None,
                                          codes, mask, rng)
-        loss.block_until_ready()
+        float(loss)   # value-fetch fence (see _median_blocks)
 
     dt = _median_blocks(block, spread_key=spread_key)
     return dt, state_box[0]
@@ -98,14 +108,14 @@ def _dispatch_enqueue_ms():
     f = jax.jit(lambda x: jnp.tanh(x @ w))
     x = jnp.zeros((64, 64), jnp.float32)
     x = f(x)
-    x.block_until_ready()
+    float(x[0, 0])             # compile + warmup (value-fetch fence)
     times = []
     for _ in range(5):
         t0 = time.time()
         for _ in range(6):
             x = f(x)
-        x.block_until_ready()
-        times.append((time.time() - t0) / 6)
+        float(x[0, 0])         # value-fetch fence; adds one small
+        times.append((time.time() - t0) / 6)   # transfer / 6 calls
     times.sort()
     return times[2] * 1000.0
 
@@ -247,13 +257,13 @@ def _indel_step_rates():
             sbox = [fresh()]
             sbox[0], loss, _ = step(sbox[0], y, None, None, codes,
                                     mask, rng)
-            loss.block_until_ready()
+            float(loss)        # compile + warmup (value-fetch fence)
 
             def block(n):
                 for _ in range(n):
                     sbox[0], loss, _ = step(sbox[0], y, None, None,
                                             codes, mask, rng)
-                loss.block_until_ready()
+                float(loss)   # value-fetch fence
 
             out[key] = B / _median_blocks(block, n_blocks=5,
                                           spread_key=f"indel_{key}")
@@ -328,10 +338,10 @@ def _indel_resident_rates(n_sites=25_600, B=128):
                     sbox[0], loss, _ = epoch_fn(
                         sbox[0], res.arena, res.y, res.cat, res.cont,
                         res.astart, res.neg, rows_dev, base_rng)
-                loss.block_until_ready()
+                float(loss)   # value-fetch fence
 
-            block(1)                # compile + warmup
-            dt = _median_blocks(block, n_blocks=3, iters_per_block=2,
+            block(2)                # compile + warmup
+            dt = _median_blocks(block, n_blocks=5, iters_per_block=4,
                                 spread_key=f"indel_resident_{key}")
             out[key] = n_steps * B / dt
         except Exception:
@@ -406,7 +416,7 @@ def _mini_pipeline():
                 model_path=os.path.join(ck, "model"),
                 model_config_path=os.path.join(ck, "model.config.pkl"),
                 calibrator_path=os.path.join(ck, "model.fdiri_cal.pkl"),
-                pred_file=path, batch_size=2048, progress_every=10**9)
+                pred_file=path, progress_every=10**9)
         # warm-up run pays the compiles (the sustained number is the
         # honest rate -- the production use is 10^8-site genomes where
         # the one-off compile is noise; this mini-slice is 10^6)
@@ -676,15 +686,17 @@ def _ensemble_search_rates(n_genome=2_000_000, n_sites=100_000, B=128,
     sbox = [st0]
 
     def serial_block(n):
+        loss = None
         for _ in range(n):
             sbox[0], loss, _ = serial_fn(
                 sbox[0], res.arena, res.y, res.cat, res.cont,
                 res.astart, res.neg, rows_dev[0], base_rngs[0])
-        loss.block_until_ready()
+        float(loss)   # value-fetch fence
 
-    serial_block(1)      # compile + warmup
-    dt_serial = _median_blocks(serial_block, n_blocks=3,
-                               iters_per_block=2)
+    serial_block(2)      # compile + warmup
+    dt_serial = _median_blocks(serial_block, n_blocks=5,
+                               iters_per_block=8,
+                               spread_key="ensemble_serial")
     serial_rate = n_steps * B / dt_serial
 
     # --- T-member vmapped ensemble ---------------------------------------
@@ -694,14 +706,16 @@ def _ensemble_search_rates(n_genome=2_000_000, n_sites=100_000, B=128,
     ebox = [ens]
 
     def ens_block(n):
+        losses = None
         for _ in range(n):
             ebox[0], losses = ens_fn(
                 ebox[0], res.arena, res.y, res.cat, res.cont,
                 res.astart, res.neg, rows_dev)
-        losses.block_until_ready()
+        np.asarray(losses)   # value-fetch fence
 
-    ens_block(1)
-    dt_ens = _median_blocks(ens_block, n_blocks=3, iters_per_block=2)
+    ens_block(2)
+    dt_ens = _median_blocks(ens_block, n_blocks=5, iters_per_block=8,
+                            spread_key="ensemble_T8")
     agg_rate = T * n_steps * B / dt_ens
     return {"serial": serial_rate, "aggregate": agg_rate,
             "speedup": agg_rate / serial_rate}
@@ -805,13 +819,13 @@ def main():
         sbox = [fresh_state()]
         sbox[0], losses, _ = stepK(sbox[0], ys, cats, None, codess,
                                    masks, rng)
-        losses.block_until_ready()
+        float(losses[-1])      # compile + warmup (value-fetch fence)
 
         def block(n):
             for _ in range(n):
                 sbox[0], losses, _ = stepK(sbox[0], ys, cats, None,
                                            codess, masks, rng)
-            losses.block_until_ready()
+            float(losses[-1])   # value-fetch fence
 
         return _median_blocks(block, iters_per_block=8,
                               spread_key=spread_key) / K

@@ -22,10 +22,14 @@ trains all T members:
   proceeds (an ensemble trades per-member early-stop savings for
   T-fold step-rate multiplication).
 
-The small-batch search recipes are where this wins: at the reference's
-default ``batch_size=128`` a single trial's scan step is latency-bound
-and the chip idles; T members multiply the work per step at near-
-constant step latency, so *aggregate* search throughput approaches Tx.
+Measured bound (v5e, B=128, T-sweep with value-fetch fences — see
+docs/usage.md): the resident step is HBM-bandwidth-bound, so member
+compute does not stack for free.  Aggregate speedup over a serial
+trial is ~1.4x f32 / ~1.7x bf16 at T=8 (bf16 T=8 reaches 1.16M w/s —
+the same bandwidth ceiling a single B=2048 trial gets); T=16
+regresses.  The structural wins are ONE dataset encode + arena upload
++ compiled program for T trials; the throughput win is real but
+bandwidth-bounded, not Tx.
 
 Per-member math is identical to the single-trial packed path
 (packed.make_packed_train_step / resident.make_resident_epoch_fn):
