@@ -398,16 +398,19 @@ def add_predict_genome_parser(subparsers, model_type: str):
     opt.add_argument("--chroms", type=str, nargs="+", default=None,
                      help="Restrict to these chromosomes.")
     opt.add_argument("--pred_batch_size", type=int, metavar="INT",
-                     default=16384 if model_type == "snv" else 1024,
-                     help="Batch size; large batches amortise per-"
-                          "dispatch transfer latency (INDEL windows are "
-                          "20-40x wider, so its default is smaller). "
-                          "Default: %(default)s.")
+                     default=4096 if model_type == "snv" else 1024,
+                     help="Batch size; measured optimum 4096 for SNV "
+                          "(large batches amortise per-dispatch "
+                          "transfer latency, but beyond ~4k the host-"
+                          "side concat/transfer chunks overlap worse; "
+                          "INDEL windows are 20-40x wider, so its "
+                          "default is smaller). Default: %(default)s.")
     opt.add_argument("--n_devices", type=int, metavar="INT", default=1,
                      help="Shard over this many TPU devices.")
     opt.add_argument("--n_workers", type=int, metavar="INT", default=0,
                      help="Postprocess worker processes (calibration + "
-                          "formatting + gzip). 0 = inline. Default: 0.")
+                          "formatting + gzip). 0 = inline; workers only "
+                          "help on multi-core hosts. Default: 0.")
     opt.add_argument("--fused_inference", default=False,
                      action="store_true",
                      help="BN-folded fused forward with the Pallas stem "

@@ -43,8 +43,16 @@ class GenomePredictOptions:
     poisson_calib: bool = False
     focal_base: str = "A"            # model's focal base ('A' or 'C')
     chroms: Optional[Sequence[str]] = None
-    batch_size: int = 2048
-    flush_batches: int = 32          # transfer/write window (batches)
+    batch_size: int = 4096           # measured optimum: 212-216k
+                                     # sites/s vs 199-206k at 8192/16384
+                                     # on a 1-core host (docs/design.md)
+    flush_batches: Optional[int] = None  # transfer/write window
+                                     # (batches); None = ~64k sites
+                                     # per flush (measured optimum:
+                                     # larger windows stall the 2-deep
+                                     # drain queue on huge transfers,
+                                     # smaller ones pay per-flush
+                                     # concat/submit overhead)
     chunk_size: int = 1 << 22        # codes uploaded per device chunk
     n_devices: int = 1
     n_workers: int = 0               # postprocess worker processes
@@ -330,6 +338,8 @@ def run_genome_predict(opts: GenomePredictOptions,
     pending_valid: List[int] = []
     submitted = 0
     batch_count = 0
+    flush_batches = (opts.flush_batches if opts.flush_batches
+                     else max(4, 65536 // batch_size))
 
     # flush windows drain on a separate thread: the device->host logits
     # transfer (one packed concat per window) and the postprocess submit
@@ -389,7 +399,7 @@ def run_genome_predict(opts: GenomePredictOptions,
         pending.append(lg)
         pending_valid.append(n_valid)
         batch_count += 1
-        if len(pending) >= opts.flush_batches:
+        if len(pending) >= flush_batches:
             flush()
         if batch_count % opts.progress_every == 0:
             printer(f"{batch_count} batches, {submitted:,} sites "
