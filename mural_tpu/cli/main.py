@@ -137,6 +137,11 @@ def _build_space(args, model_type: str):
 
 def _base_train_opts(args, model_type: str):
     from mural_tpu.train.loop import TrainOptions
+    if getattr(args, "sample_weights", None):
+        # the reference accepts the flag and drops it with this warning
+        # (training.py:238-239); keep the same loud no-op
+        print("Warning: sample_weights be dropped, the program will "
+              "run with sample_weights=None!")
     return TrainOptions(
         train_data=_abspath(args.train_data),
         ref_genome=_abspath(args.ref_genome),
