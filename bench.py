@@ -407,24 +407,31 @@ def _mini_pipeline():
         if corr:
             out["kmer_corr_3mer"] = float(np.mean(corr))
 
-        # genome-wide predict: the whole 1 Mb synthetic chromosome
+        # genome-wide predict over an 8 Mb genome (~4M focal sites):
+        # big enough that the fixed per-run costs (genome/checkpoint
+        # load, farm open/close, one compile) amortize as they do in
+        # the production use (10^8-site genomes); the 1 Mb example
+        # genome under-reported the sustained rate by ~35% on fixed
+        # costs alone
         from mural_tpu.predict.genome_wide import (GenomePredictOptions,
                                                    run_genome_predict)
-        def gopts(path):
+        rng_gp = np.random.default_rng(7)
+        gp_fa, _, _ = _write_synthetic(td, 8_000_000, 100, rng_gp)
+
+        def gopts(ref, path):
             return GenomePredictOptions(
-                ref_genome=os.path.join(ex, "seq.fa"),
+                ref_genome=ref,
                 model_path=os.path.join(ck, "model"),
                 model_config_path=os.path.join(ck, "model.config.pkl"),
                 calibrator_path=os.path.join(ck, "model.fdiri_cal.pkl"),
                 pred_file=path, progress_every=10**9)
-        # warm-up run pays the compiles (the sustained number is the
-        # honest rate -- the production use is 10^8-site genomes where
-        # the one-off compile is noise; this mini-slice is 10^6)
-        run_genome_predict(gopts(os.path.join(td, "gp_warm.tsv.gz")),
+        # warm-up on the small example genome pays the compiles
+        run_genome_predict(gopts(os.path.join(ex, "seq.fa"),
+                                 os.path.join(td, "gp_warm.tsv.gz")),
                            "snv", printer=lambda *a: None)
         t0 = time.time()
         n_written = run_genome_predict(
-            gopts(os.path.join(td, "gp.tsv.gz")), "snv",
+            gopts(gp_fa, os.path.join(td, "gp.tsv.gz")), "snv",
             printer=lambda *a: None)
         out["genome_predict_sites_per_sec"] = n_written / (time.time()
                                                            - t0)

@@ -611,11 +611,15 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
         if tail["error"] is not None:
             raise tail["error"]
 
-    def _run_tail(epoch, params_host_fn, stats_host_fn, valid_probs,
+    def _run_tail(epoch, params_host_fn, stats_host_fn, valid_probs_fn,
                   total_loss, valid_total_loss):
         nonlocal metrics, min_loss, min_loss_epoch, after_min_loss
         try:
             import pandas as pd
+            # logits fetch + softmax run HERE, overlapped with the next
+            # epoch's device work: on a 1-core host every ms of main-
+            # thread post-sync work lands on the epoch critical path
+            valid_probs = valid_probs_fn()
             valid_y = data_local_valid["mut_type"].to_numpy()
             fdiri_cal, fdiri_nll = calibrate_prob(
                 valid_probs, valid_y, "FullDiri", printer=printer)
@@ -801,10 +805,15 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
         if use_resident:
             # already dispatched right after the epoch program above
             valid_total_loss = float(vloss_dev)
-            lg = np.asarray(logits_stacked)
-            valid_logits = (np.concatenate(
-                [lg[i, :n] for i, n in enumerate(v_n_valids)])
-                if len(v_n_valids) else np.zeros((0, opts.n_class)))
+
+            def valid_probs_fn(ls=logits_stacked, nv=tuple(v_n_valids)):
+                lg = np.asarray(ls)
+                valid_logits = (np.concatenate(
+                    [lg[i, :n] for i, n in enumerate(nv)])
+                    if nv else np.zeros((0, opts.n_class)))
+                e = np.exp(valid_logits
+                           - valid_logits.max(axis=1, keepdims=True))
+                return e / e.sum(axis=1, keepdims=True)
         else:
             logits_parts: List = []
             vloss_dev = jnp.zeros((), jnp.float32)
@@ -823,12 +832,15 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
                 logits_parts.append(logits)
                 n_valids.append(db.n_valid)
             valid_total_loss = float(vloss_dev)
-            valid_logits = (np.concatenate(
-                [np.asarray(lg)[:n]
-                 for lg, n in zip(logits_parts, n_valids)])
-                if logits_parts else np.zeros((0, opts.n_class)))
-        e = np.exp(valid_logits - valid_logits.max(axis=1, keepdims=True))
-        valid_probs = e / e.sum(axis=1, keepdims=True)
+
+            def valid_probs_fn(lp=tuple(logits_parts),
+                               nv=tuple(n_valids)):
+                valid_logits = (np.concatenate(
+                    [np.asarray(lg)[:n] for lg, n in zip(lp, nv)])
+                    if lp else np.zeros((0, opts.n_class)))
+                e = np.exp(valid_logits
+                           - valid_logits.max(axis=1, keepdims=True))
+                return e / e.sum(axis=1, keepdims=True)
         t_valid_done = time.time()
 
         # previous epoch's tail must finish before this epoch's starts
@@ -859,7 +871,7 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
         current_loss = valid_total_loss / max(valid_size, 1)
         tail["thread"] = threading.Thread(
             target=_run_tail,
-            args=(epoch, params_host_fn, stats_host_fn, valid_probs,
+            args=(epoch, params_host_fn, stats_host_fn, valid_probs_fn,
                   total_loss, valid_total_loss),
             daemon=True)
         tail["thread"].start()
