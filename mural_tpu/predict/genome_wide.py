@@ -98,13 +98,14 @@ def iter_focal_sites(genome: Genome, focal_base: str,
 def run_genome_predict(opts: GenomePredictOptions,
                        model_type: str = "snv", printer=print) -> int:
     """Returns the number of sites written."""
+    from mural_tpu.utils.pandas_safe import ensure_object_strings
+    ensure_object_strings()
     import jax
     import jax.numpy as jnp
 
     from mural_tpu.utils.compile_cache import _enable_compilation_cache
     _enable_compilation_cache()
     from mural_tpu.models.init import materialize_variables
-    from mural_tpu.models.layers import one_hot_from_codes
     from mural_tpu.ops.device_gather import (iter_code_chunks,
                                              make_batch_encoder)
     from mural_tpu.predict.pipeline import build_model_from_config
@@ -170,38 +171,40 @@ def run_genome_predict(opts: GenomePredictOptions,
         batch_size = opts.batch_size
 
     # device-side window gather + encode (ops/device_gather.py): chunk
-    # codes go up once, per batch only (lstart, dstart, neg) vectors
-    # travel -- ~60x less host->device traffic than host gathering
-    encode_fn, _, _ = make_batch_encoder(local_radius, local_order,
-                                         distal_radius, model_type)
-
+    # codes go up once (as a (R, 128) rows view for the blocked window
+    # gather), per batch only (lstart, dstart, neg) vectors travel --
+    # ~60x less host->device traffic than host gathering
     if (opts.fused_inference and model_type == "snv"
             and config.get("model_no") == 2):
+        from mural_tpu.ops.device_gather import make_batch_code_encoder
         from mural_tpu.ops.fused_inference import (fold_snv2,
                                                    snv2_fused_forward)
+        encode_fn, _, _ = make_batch_code_encoder(
+            local_radius, local_order, distal_radius, model_type)
         folded = fold_snv2({"params": params,
                             "batch_stats": batch_stats}, config)
         k_stem = config["CNN_kernel_size"]
 
-        def forward(p_, bs_, cat, distal_codes):
-            return snv2_fused_forward(folded, cat, distal_codes,
-                                      k=k_stem)
+        def forward(p_, bs_, cat, distal):
+            return snv2_fused_forward(folded, cat, distal, k=k_stem)
     else:
-        def forward(p_, bs_, cat, distal_codes):
+        encode_fn, _, _ = make_batch_encoder(local_radius, local_order,
+                                             distal_radius, model_type)
+
+        def forward(p_, bs_, cat, distal):
             return model.apply({"params": unpack_tree(p_, p_spec),
                                 "batch_stats": unpack_tree(bs_, s_spec)},
-                               cat, None,
-                               one_hot_from_codes(distal_codes), False)
+                               cat, None, distal, False)
 
     @jax.jit
-    def genome_step(p_, bs_, codes, packed):
+    def genome_step(p_, bs_, codes2d, packed):
         # packed: (B, 3) int32 = [lstart, dstart, neg] -- one transfer
         # per batch instead of three (each host->device put is a tunnel
         # round trip on remote-device setups)
         lstart, dstart = packed[:, 0], packed[:, 1]
         neg = packed[:, 2].astype(bool)
-        cat, dwin = encode_fn(codes, lstart, dstart, neg)
-        return forward(p_, bs_, cat, dwin)
+        cat, distal = encode_fn(codes2d, lstart, dstart, neg)
+        return forward(p_, bs_, cat, distal)
 
     prob_names = [f"prob{i}" for i in range(n_class)]
     margin = max(distal_radius, local_radius + local_order) + 2
@@ -231,6 +234,8 @@ def run_genome_predict(opts: GenomePredictOptions,
         for chrom in (opts.chroms or genome.names()):
             for lo, hi, padded in iter_code_chunks(genome, chrom,
                                                    margin, chunk_len):
+                from mural_tpu.ops.window_gather import pad_arena_rows
+                padded = pad_arena_rows(padded, dw)   # (R, 128) view
                 part = genome[chrom][lo:hi]
                 if opts.focal_base == "all":
                     pos = np.arange(lo, hi, dtype=np.int64)

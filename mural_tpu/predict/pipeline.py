@@ -79,6 +79,8 @@ def build_model_from_config(config: Dict, n_cont: int, model_type: str):
 
 def run_predict(opts: PredictOptions, model_type: str = "snv",
                 printer=print) -> "pd.DataFrame":
+    from mural_tpu.utils.pandas_safe import ensure_object_strings
+    ensure_object_strings()
     import pandas as pd
     from mural_tpu.utils.compile_cache import _enable_compilation_cache
     _enable_compilation_cache()

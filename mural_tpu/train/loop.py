@@ -181,6 +181,8 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
     reference's ``tune.report`` / EarlyStopping fork, training.py:534-550);
     returning False stops the trial (ASHA early termination).
     """
+    from mural_tpu.utils.pandas_safe import ensure_object_strings
+    ensure_object_strings()
     from mural_tpu.utils.compile_cache import _enable_compilation_cache
     _enable_compilation_cache()
     printer = get_printer(opts.distributed, opts.trial_training_log)
@@ -803,11 +805,16 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
 
         # ---- validation (async: device arrays collected, one sync) ---
         if use_resident:
-            # already dispatched right after the epoch program above
+            # already dispatched right after the epoch program above.
+            # The device fetch stays on the MAIN thread (free once the
+            # vloss sync has run; a device fetch on the tail thread
+            # races the next epoch's compile and segfaults the axon
+            # transport); only the pure-numpy concat + softmax defer to
+            # the overlapped tail.
             valid_total_loss = float(vloss_dev)
+            lg_host = np.asarray(logits_stacked)
 
-            def valid_probs_fn(ls=logits_stacked, nv=tuple(v_n_valids)):
-                lg = np.asarray(ls)
+            def valid_probs_fn(lg=lg_host, nv=tuple(v_n_valids)):
                 valid_logits = (np.concatenate(
                     [lg[i, :n] for i, n in enumerate(nv)])
                     if nv else np.zeros((0, opts.n_class)))
@@ -832,11 +839,11 @@ def train_trial(config: Dict, opts: TrainOptions, model_type: str,
                 logits_parts.append(logits)
                 n_valids.append(db.n_valid)
             valid_total_loss = float(vloss_dev)
+            lg_parts = tuple(np.asarray(lg) for lg in logits_parts)
 
-            def valid_probs_fn(lp=tuple(logits_parts),
-                               nv=tuple(n_valids)):
+            def valid_probs_fn(lp=lg_parts, nv=tuple(n_valids)):
                 valid_logits = (np.concatenate(
-                    [np.asarray(lg)[:n] for lg, n in zip(lp, nv)])
+                    [lg[:n] for lg, n in zip(lp, nv)])
                     if lp else np.zeros((0, opts.n_class)))
                 e = np.exp(valid_logits
                            - valid_logits.max(axis=1, keepdims=True))

@@ -276,6 +276,8 @@ def run_experiment(space: Dict, base_opts: TrainOptions, model_type: str,
                    printer=print) -> List:
     """Sample + run ``n_trials`` configs.  Returns the sorted best-model
     list [(checkpoint_path, loss), ...]."""
+    from mural_tpu.utils.pandas_safe import ensure_object_strings
+    ensure_object_strings()
     import jax
 
     exp_dir = os.path.join(exp.results_dir, exp.experiment_name)

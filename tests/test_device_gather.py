@@ -33,16 +33,31 @@ def test_device_encode_matches_host(rng, model_type, local_order):
     cat_host = (native.kmer_pack(lwin, local_order) if local_order > 1
                 else enc.order1_local(lwin, model_type).astype(np.int32))
 
-    # device path: indices relative to the padded chunk
+    # device path: indices relative to the padded chunk, codes viewed
+    # as (R, 128) rows for the blocked window gather
+    from mural_tpu.genome.encode import ONE_HOT_TABLE
+    from mural_tpu.ops.device_gather import make_batch_code_encoder
+    from mural_tpu.ops.window_gather import pad_arena_rows
+
+    padded2d = jnp.asarray(pad_arena_rows(padded, dw))
+    lstart_d = jnp.asarray((lstart + margin), dtype=jnp.int32)
+    dstart_d = jnp.asarray((dstart + margin), dtype=jnp.int32)
+    neg_d = jnp.asarray(neg)
+
     encode_fn, lw2, dw2 = make_batch_encoder(
         local_radius, local_order, distal_radius, model_type)
     assert (lw2, dw2) == (lw, dw)
-    cat_dev, dwin_dev = encode_fn(
-        jnp.asarray(padded), jnp.asarray((lstart + margin),
-                                         dtype=jnp.int32),
-        jnp.asarray((dstart + margin), dtype=jnp.int32),
-        jnp.asarray(neg))
+    cat_dev, oh_dev = encode_fn(padded2d, lstart_d, dstart_d, neg_d)
     np.testing.assert_array_equal(np.asarray(cat_dev), cat_host)
+    # strand-resolved one-hot must equal the host one-hot of the
+    # strand-resolved codes (bit-equality incl. fractional IUPAC rows)
+    np.testing.assert_array_equal(np.asarray(oh_dev), ONE_HOT_TABLE[dwin])
+
+    # code-level variant (fused-inference path) returns the codes
+    code_fn, _, _ = make_batch_code_encoder(
+        local_radius, local_order, distal_radius, model_type)
+    cat2, dwin_dev = code_fn(padded2d, lstart_d, dstart_d, neg_d)
+    np.testing.assert_array_equal(np.asarray(cat2), cat_host)
     np.testing.assert_array_equal(np.asarray(dwin_dev), dwin)
 
 
