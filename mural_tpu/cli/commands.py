@@ -407,10 +407,12 @@ def add_predict_genome_parser(subparsers, model_type: str):
                           "default is smaller). Default: %(default)s.")
     opt.add_argument("--n_devices", type=int, metavar="INT", default=1,
                      help="Shard over this many TPU devices.")
-    opt.add_argument("--n_workers", type=int, metavar="INT", default=0,
+    opt.add_argument("--n_workers", type=int, metavar="INT", default=None,
                      help="Postprocess worker processes (calibration + "
-                          "formatting + gzip). 0 = inline; workers only "
-                          "help on multi-core hosts. Default: 0.")
+                          "formatting + gzip). 0 = inline. Default: "
+                          "auto-size from the host core count -- inline "
+                          "on <=2 cores (measured faster there), else "
+                          "cores-2 capped at 6.")
     opt.add_argument("--fused_inference", default=False,
                      action="store_true",
                      help="BN-folded fused forward with the Pallas stem "
@@ -516,6 +518,30 @@ def add_calc_scaling_factor_parser(subparsers, model_type: str):
                    default=4 if model_type == "snv" else 8,
                    help="Number of classes.")
     p.set_defaults(func="calc_scaling_factor")
+    return p
+
+
+def add_convert_parser(subparsers, model_type: str):
+    """``convert``: re-export a reference torch checkpoint directory
+    (state_dict + config/calibrator pickles, the triple written by
+    MuRaL/training.py:570-578 and shipped under ``models/<species>/``)
+    as a native msgpack checkpoint.  An extension over the reference
+    (which has no converter; its checkpoints only load through torch)."""
+    p = subparsers.add_parser(
+        "convert", help="Convert a reference torch checkpoint directory "
+        "to the native checkpoint format",
+        formatter_class=argparse.RawTextHelpFormatter)
+    req = p.add_argument_group("Required arguments")
+    req.add_argument("--checkpoint_dir", required=True, type=str,
+                     metavar="DIR",
+                     help="Reference checkpoint directory holding "
+                          "'model' (torch state_dict), "
+                          "'model.config.pkl' and optionally "
+                          "'model.fdiri_cal.pkl'.")
+    req.add_argument("--out_dir", required=True, type=str, metavar="DIR",
+                     help="Output directory for the native triple "
+                          "(created if missing).")
+    p.set_defaults(func="convert")
     return p
 
 

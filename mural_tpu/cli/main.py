@@ -34,6 +34,7 @@ def create_parser(model_type: str) -> argparse.ArgumentParser:
     C.add_scale_parser(sub, model_type)
     C.add_calc_scaling_factor_parser(sub, model_type)
     C.add_get_best_model_parser(sub, model_type)
+    C.add_convert_parser(sub, model_type)
     return parser
 
 
@@ -258,7 +259,11 @@ def cmd_transfer(args, model_type: str) -> int:
     if args.segment_center:
         config["segment_center"] = args.segment_center
     if args.sampled_segments:
-        config["sampled_segments"] = args.sampled_segments
+        # the shared --sampled_segments flag is list-valued (search
+        # dimension in train); transfer pins a scalar like the
+        # reference (commands/transfer.py:104, type=int default None)
+        ss = args.sampled_segments
+        config["sampled_segments"] = ss[0] if isinstance(ss, list) else ss
     config.setdefault("sampled_segments", 10)
 
     opts = _base_train_opts(args, model_type)
@@ -323,7 +328,7 @@ def cmd_predict_genome(args, model_type: str) -> int:
         chroms=args.chroms,
         batch_size=args.pred_batch_size,
         n_devices=args.n_devices,
-        n_workers=getattr(args, "n_workers", 0),
+        n_workers=getattr(args, "n_workers", None),
         fused_inference=getattr(args, "fused_inference", False),
         time_view=getattr(args, "pred_time_view", False),
     )
@@ -386,6 +391,17 @@ def cmd_calc_scaling_factor(args, model_type: str) -> int:
     return 0
 
 
+def cmd_convert(args, model_type: str) -> int:
+    """Re-export a reference torch checkpoint as a native triple
+    (utils/zoo.py).  Works for every shipped zoo checkpoint
+    (models/{Homo_sapiens,...}/{SNV,INDEL}/*, recipes in the species
+    READMEs) as well as example checkpoints."""
+    from mural_tpu.utils.zoo import convert_checkpoint
+    convert_checkpoint(_abspath(args.checkpoint_dir),
+                       _abspath(args.out_dir), model_type=model_type)
+    return 0
+
+
 def cmd_get_best_model(args, model_type: str) -> int:
     """Reference-format output: one tab-separated line per trial,
     ``<checkpoint_dir>\\t<loss:.6f>``, sorted by loss ascending
@@ -417,6 +433,7 @@ _DISPATCH = {
     "scale": cmd_scale,
     "calc_scaling_factor": cmd_calc_scaling_factor,
     "get_best_model": cmd_get_best_model,
+    "convert": cmd_convert,
 }
 
 

@@ -55,7 +55,12 @@ class GenomePredictOptions:
                                      # concat/submit overhead)
     chunk_size: int = 1 << 22        # codes uploaded per device chunk
     n_devices: int = 1
-    n_workers: int = 0               # postprocess worker processes
+    n_workers: Optional[int] = None  # postprocess worker processes;
+                                     # None = auto-size from the host
+                                     # core count (post_farm.
+                                     # auto_n_workers: inline on <=2
+                                     # cores -- measured faster there --
+                                     # else cores-2 capped at 6)
     fused_inference: bool = False    # BN-folded fused forward (SNV m2)
     progress_every: int = 2000       # batches between progress prints
     time_view: bool = False          # print a phase-timing table
@@ -331,13 +336,15 @@ def run_genome_predict(opts: GenomePredictOptions,
     # calibration + %.4g formatting + gzip run in the PostprocessFarm:
     # inline (native C++ formatter, ~12x the pandas path) or fanned out
     # over n_workers processes with ordered writes
-    from mural_tpu.predict.post_farm import PostprocessFarm
+    from mural_tpu.predict.post_farm import PostprocessFarm, auto_n_workers
+    n_workers = (auto_n_workers() if opts.n_workers is None
+                 else opts.n_workers)
     farm = PostprocessFarm(
         opts.pred_file,
         ["chrom", "start", "end", "strand", "mut_type"] + prob_names,
         calibrator=calibr,
         poisson=(opts.poisson_calib or model_type == "indel"),
-        n_workers=opts.n_workers)
+        n_workers=n_workers)
 
     pending: List = []
     pending_valid: List[int] = []
@@ -429,5 +436,6 @@ def run_genome_predict(opts: GenomePredictOptions,
             printer(f"  {name:<28s} {dt:8.2f}s")
     printer(f"genome-wide predict: {total:,} sites in "
             f"{time.time() - t0:.1f}s = {rate:,.0f} sites/s "
-            f"({opts.n_workers} postprocess workers)")
+            f"({n_workers} postprocess workers"
+            f"{' [auto]' if opts.n_workers is None else ''})")
     return total

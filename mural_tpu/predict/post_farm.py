@@ -31,6 +31,28 @@ from typing import Optional
 import numpy as np
 
 
+def auto_n_workers(cores: Optional[int] = None) -> int:
+    """Default worker count for the postprocess farm.
+
+    Measured on a 1-core host, ``n_workers 2`` LOSES to inline (79k vs
+    206k sites/s, round-4 STATUS.md): spawned workers contend with the
+    main process's device-feed and drain threads for the same core and
+    pay pickle+IPC for every chunk.  The farm only pays off when there
+    are spare physical cores beyond the ~2 the main process keeps busy,
+    so: inline on <=2 cores; otherwise leave 2 cores to the main
+    process and cap at 6 (beyond that the single ordered writer thread
+    is the bottleneck)."""
+    if cores is None:
+        import os
+        try:
+            cores = len(os.sched_getaffinity(0))
+        except AttributeError:
+            cores = os.cpu_count() or 1
+    if cores <= 2:
+        return 0
+    return min(cores - 2, 6)
+
+
 def postprocess_chunk(chrom: str, pos: np.ndarray, neg: np.ndarray,
                       logits: np.ndarray, calibrator, poisson: bool,
                       compresslevel: int = 0) -> tuple:

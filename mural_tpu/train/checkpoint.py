@@ -60,6 +60,13 @@ def load_config(config_path: str) -> Dict:
         config["segment_center"] = config["central_radius"]
     if "sampled_segments" not in config and "batch_segment" in config:
         config["sampled_segments"] = config["batch_segment"]
+    # the oldest shipped zoo checkpoints (e.g. models/Drosophila_
+    # melanogaster/SNV/*) predate segment-based sampling and carry
+    # neither key; the reference hard-exits there unless the user
+    # passes --segment_center (run_train_TL_raytune.py:44-50,163-164).
+    # Default to the train CLI default instead (commands/train.py:105)
+    # so every published checkpoint works out of the box.
+    config.setdefault("segment_center", 300000)
     return config
 
 

@@ -15,7 +15,8 @@ def test_subcommands_present():
                     if a.dest == "command").choices
         assert set(subs) == {"train", "transfer", "predict",
                              "predict_genome", "evaluate", "scale",
-                             "calc_scaling_factor", "get_best_model"}
+                             "calc_scaling_factor", "get_best_model",
+                             "convert"}
 
 
 def test_train_parser_defaults_snv():

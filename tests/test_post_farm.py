@@ -97,6 +97,64 @@ def test_farm_workers_byte_identical(tmp_path, rng):
     assert a == b
 
 
+def test_auto_n_workers_policy():
+    """--n_workers default auto-sizes from the host core count: inline
+    on <=2 cores (workers measured SLOWER there -- 79k vs 206k sites/s,
+    round-4 STATUS), else cores-2 capped at 6 (the single ordered
+    writer thread bounds returns beyond that)."""
+    from mural_tpu.predict.post_farm import auto_n_workers
+    assert auto_n_workers(1) == 0
+    assert auto_n_workers(2) == 0
+    assert auto_n_workers(3) == 1
+    assert auto_n_workers(4) == 2
+    assert auto_n_workers(8) == 6
+    assert auto_n_workers(96) == 6
+    # no-arg form resolves the real host affinity and follows the
+    # same policy
+    import os
+    try:
+        cores = len(os.sched_getaffinity(0))
+    except AttributeError:
+        cores = os.cpu_count() or 1
+    assert auto_n_workers() == auto_n_workers(cores)
+
+
+@pytest.mark.slow
+def test_farm_workers_scale_or_do_no_harm(tmp_path, rng):
+    """On hosts with spare cores the fanned farm must not lose to
+    inline on a postprocess-heavy load (the auto default's whole
+    premise); on <=2-core hosts auto resolves to inline so the farm is
+    never engaged (asserted via the policy test above).  Throughput
+    comparison only runs where auto would actually engage workers."""
+    from mural_tpu.predict.post_farm import PostprocessFarm, auto_n_workers
+    import time as _time
+
+    n_auto = auto_n_workers()
+    if n_auto == 0:
+        pytest.skip("host has <=2 usable cores; auto=inline by policy")
+
+    chunks = [_chunk(rng, n=20_000, chrom=f"chr{1 + i % 3}")
+              for i in range(8)]
+    cols = ["chrom", "start", "end", "strand", "mut_type",
+            "prob0", "prob1", "prob2", "prob3"]
+
+    def run(n_workers, name):
+        farm = PostprocessFarm(str(tmp_path / name), cols,
+                               n_workers=n_workers)
+        t0 = _time.time()
+        for c in chunks:
+            farm.submit(*c)
+        farm.close()
+        return _time.time() - t0
+
+    run(n_auto, "warm.tsv.gz")          # pay worker spawn once
+    t_inline = run(0, "inline.tsv.gz")
+    t_fan = run(n_auto, "fan.tsv.gz")
+    # generous margin: "not dramatically worse" is the do-no-harm bar;
+    # real speedup is workload/core dependent
+    assert t_fan < t_inline * 1.5, (t_fan, t_inline)
+
+
 class Boom:
     def predict_proba(self, p):
         raise RuntimeError("boom")
