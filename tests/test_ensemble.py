@@ -197,6 +197,63 @@ def test_ensemble_epoch_matches_serial_resident(ds, optim):
         assert float(vl_e[t]) == pytest.approx(float(vl_ser), rel=5e-3)
 
 
+def test_ensemble_epoch_bf16_matches_serial_bf16(ds):
+    """The bf16 ensemble epoch (the configuration bench.py measures as
+    ensemble8_b128_bf16_*) must reproduce each member's own serial
+    resident bf16 trial at epoch-loss level.  Tolerance is the repo's
+    trajectory bound (5e-3, the resident-vs-host trial tolerance):
+    activations are bf16 while optimizer/BN-stats/loss stay f32, and
+    vmap's reduction-order noise on ~3-decimal-digit activations is
+    amplified by Adam across the epoch (measured 3.4e-3 on one member
+    over a 3-segment epoch)."""
+    from mural_tpu.models.snv import SNVNet2
+    from mural_tpu.train.ensemble import (create_ensemble_state,
+                                          make_ensemble_epoch_fn)
+    from mural_tpu.train.loop import _init_variables
+    from mural_tpu.train.packed import pack_state
+    from mural_tpu.train.resident import (make_resident,
+                                          make_resident_epoch_fn,
+                                          stack_epoch_rows)
+    from mural_tpu.train.state import create_train_state
+
+    B, T = 32, 2
+    model = SNVNet2(emb_vocab=65, n_cat=ds.cat.shape[1],
+                    lin_layer_sizes=[24, 12],
+                    emb_dropout=0.0, lin_layer_dropouts=[0.0, 0.0],
+                    in_channels=4, out_channels=8, kernel_size=3,
+                    distal_fc_dropout=0.0, n_class=4)
+    lrs, seeds = [5e-3, 1e-3], [0, 1]
+    schedules = [LRSchedule.build("StepLR", lrs[t], 0.9, B, ds.n_sites,
+                                  1e-4, 1e-6) for t in range(T)]
+    variables_list = [_init_variables(model, ds, s) for s in seeds]
+    res = make_resident(ds)
+    rows_list = [stack_epoch_rows(ds, 3, B, shuffle=True,
+                                  rng=np.random.default_rng(100 + t))[0]
+                 for t in range(T)]
+
+    serial_losses = []
+    for t in range(T):
+        st = pack_state(create_train_state(
+            model, variables_list[t], "Adam", 0.0, schedules[t]))
+        epoch_fn = make_resident_epoch_fn(model, st, ds.distal_width,
+                                          bf16=True)
+        _, total, _ = epoch_fn(
+            st, res.arena, res.y, res.cat, res.cont, res.astart,
+            res.neg, jnp.asarray(rows_list[t]), jax.random.key(seeds[t]))
+        serial_losses.append(float(total))
+
+    ens = create_ensemble_state(variables_list, "Adam", [0.0, 0.0],
+                                schedules, seeds)
+    epoch_fn = make_ensemble_epoch_fn(model, ens, ds.distal_width,
+                                      bf16=True)
+    ens, losses = epoch_fn(ens, res.arena, res.y, res.cat, res.cont,
+                           res.astart, res.neg,
+                           jnp.asarray(np.stack(rows_list)))
+    assert np.isfinite(np.asarray(losses)).all()
+    np.testing.assert_allclose(np.asarray(losses), serial_losses,
+                               rtol=5e-3)
+
+
 def test_live_mask_freezes_member(ds):
     """A member with live=0 must hold params, optimizer state and BN
     stats through an epoch while live members keep training."""
