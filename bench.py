@@ -378,6 +378,14 @@ def _indel_step_rates():
 
             out[key] = B / _median_blocks(block, n_blocks=5,
                                           spread_key=f"indel_{key}")
+            if key == "f32":
+                # INDEL roofline at the reference recipe (same method
+                # as the SNV step's _step_roofline)
+                try:
+                    out["roofline"] = _step_roofline(
+                        lambda n: block(n))
+                except Exception:
+                    out["roofline"] = None
         except Exception:
             out[key] = None
     return out
@@ -1148,6 +1156,15 @@ def main():
         "indel_mfu": (round(indel_mfu, 4)
                       if indel_mfu is not None else None),
         "indel_step_flops": indel.get("flops"),
+        "indel_hbm_bytes_per_step": (
+            round(indel["roofline"]["bytes_per_step"])
+            if indel.get("roofline") else None),
+        "indel_achieved_hbm_gbps": (
+            _r(indel["roofline"]["achieved_gbps"])
+            if indel.get("roofline") else None),
+        "indel_roofline_bound_by": (
+            indel["roofline"]["bound_by"]
+            if indel.get("roofline") else None),
         "indel_bf16_windows_per_sec": _r(indel.get("bf16")),
         "indel_b128_windows_per_sec": _r(indel.get("f32_b128")),
         "indel_bf16_b128_windows_per_sec": _r(indel.get("bf16_b128")),
