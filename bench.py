@@ -152,6 +152,19 @@ def _step_roofline(run_steps, n_steps=10):
         from xprof.convert import raw_to_tool_data as rtd
         data, _ = rtd.xspace_to_tool_data(paths, "roofline_model", {})
     tbl = json.loads(data if isinstance(data, str) else data.decode())[0]
+    return _parse_roofline_table(tbl, n_steps)
+
+
+def _parse_roofline_table(tbl, n_steps):
+    """Reduce one xprof roofline_model table to the per-step figures.
+
+    The tool emits every row TWICE (include_infeed_outfeed True/False
+    variants, identical values for a device-only trace) and per-step
+    rows besides the 'Total' aggregation -- keep exactly the Total/
+    non-infeed set.  Bytes come from the aggregate Program row's
+    average HBM bandwidth x trace wall; busy time is the sum of per-op
+    self times (the bandwidth denominator that excludes inter-kernel
+    transport gaps)."""
     idx = {c["id"]: i for i, c in enumerate(tbl["cols"])}
 
     def val(r, k):

@@ -74,3 +74,52 @@ def test_trim_threshold_keeps_honest_variance(monkeypatch):
     _run(monkeypatch, durations, "drift")
     assert "drift" not in bench._BLOCK_STALLS
     assert bench._BLOCK_SPREADS["drift"] == round(0.2 / 1.1, 3)
+
+
+def _rl_row(step, category, operation, self_time, total_time=0.0,
+            hbm_bw=0.0, bound="HBM", infeed=False):
+    return {"c": [{"v": step}, {"v": category}, {"v": operation},
+                  {"v": self_time}, {"v": total_time}, {"v": hbm_bw},
+                  {"v": bound}, {"v": infeed}]}
+
+
+def test_parse_roofline_table():
+    """Fabricated xprof table: per-step rows and infeed-variant
+    duplicates must be excluded; bytes = Program hbm_bw x wall; busy =
+    sum of non-Program self times."""
+    cols = [{"id": k} for k in
+            ("step", "category", "operation", "total_self_time",
+             "total_time", "hbm_bw", "bound_by",
+             "include_infeed_outfeed")]
+    wall_us = 25_000.0               # 10 steps, 2.5 ms each
+    bw_gib = 500.0 / (2 ** 30 / 1e9)   # 500 GB/s expressed in GiB/s
+    rows = []
+    for infeed in (True, False):     # the tool's duplicated variants
+        rows.append(_rl_row("Total", "Program", "Program", 0.0,
+                            wall_us, bw_gib, "HBM", infeed))
+        rows.append(_rl_row("Total", "fusion", "op_a", 15_000.0,
+                            infeed=infeed))
+        rows.append(_rl_row("Total", "fusion", "op_b", 5_000.0,
+                            infeed=infeed))
+        # per-step rows must be ignored
+        rows.append(_rl_row("0", "fusion", "op_a", 1_500.0,
+                            infeed=infeed))
+    out = bench._parse_roofline_table({"cols": cols, "rows": rows}, 10)
+    assert out["bound_by"] == "HBM"
+    assert out["wall_ms_per_step"] == pytest.approx(2.5)
+    assert out["busy_ms_per_step"] == pytest.approx(2.0)   # 20 ms / 10
+    # bytes: 500 GB/s * 25 ms = 12.5 GB -> 1.25 GB/step
+    assert out["bytes_per_step"] == pytest.approx(1.25e9, rel=1e-6)
+    # achieved bw over busy: 12.5 GB / 20 ms = 625 GB/s
+    assert out["achieved_gbps"] == pytest.approx(625.0, rel=1e-6)
+
+
+def test_parse_roofline_table_rejects_empty():
+    cols = [{"id": k} for k in
+            ("step", "category", "operation", "total_self_time",
+             "total_time", "hbm_bw", "bound_by",
+             "include_infeed_outfeed")]
+    rows = [_rl_row("Total", "Program", "Program", 0.0, 0.0, 0.0,
+                    "Unknown", False)]
+    assert bench._parse_roofline_table({"cols": cols, "rows": rows},
+                                       10) is None
