@@ -61,6 +61,23 @@ class UNetSmall(nn.Module):
     @nn.compact
     def __call__(self, cat_x=None, cont_x=None, distal=None,
                  train: bool = False):
+        stride = 1
+        for s in self.downsize:
+            stride *= s
+        W = distal.shape[-2]
+        if W % stride:
+            # fail fast with flag names instead of the XLA broadcast
+            # error the misaligned skip-additions otherwise produce
+            # (the reference torch model crashes just as opaquely,
+            # model_indel.py:165-170)
+            raise ValueError(
+                f"INDEL U-Net geometry: window length {W} "
+                f"(= 2*distal_radius) is not a multiple of the "
+                f"cumulative --down_list stride {stride} "
+                f"(down_list={list(self.downsize)}), so the decoder's "
+                "skip connections cannot align. Choose --distal_radius "
+                f"such that 2*radius is a multiple of {stride} "
+                "(reference recipes: 4000, 2000) or adjust --down_list.")
         out = distal
         k = self.kernel_size
         p = (k - 1) // 2

@@ -301,3 +301,25 @@ def test_global_max_1d_matches_jnp_max_and_torch_ties():
     tt = torch.tensor(xt_np.transpose(0, 2, 1), requires_grad=True)
     tt.max(dim=2).values.sum().backward()
     np.testing.assert_array_equal(g, tt.grad.numpy().transpose(0, 2, 1))
+
+
+def test_unet_geometry_fail_fast():
+    """A window length not divisible by the cumulative down_list stride
+    must raise a flag-naming ValueError at trace time instead of the
+    XLA broadcast error the misaligned skip-adds otherwise produce
+    (found driving `mural_indel train --distal_radius 200` with the
+    default down_list; the reference torch model crashes as opaquely)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    model = UNetSmall(n_class=4, out_channels=4, kernel_size=3,
+                      downsize=(1, 4, 5, 5, 5, 2))
+    bad = jnp.zeros((2, 400, 4), jnp.float32)      # 400 % 1000 != 0
+    with pytest.raises(ValueError, match="down_list"):
+        model.init(jax.random.key(0), None, None, bad, False)
+
+    ok = jnp.zeros((2, 1000, 4), jnp.float32)      # 1000 % 1000 == 0
+    v = model.init(jax.random.key(0), None, None, ok, False)
+    out = model.apply(v, None, None, ok, False)
+    assert out.shape == (2, 4)
